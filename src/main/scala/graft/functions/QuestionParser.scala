@@ -1,0 +1,382 @@
+package graft.functions
+
+import java.util.regex.Pattern
+
+import graft.util.{HElem, HText, Html, PyText}
+
+/** Parsed-question data model (SURVEY.md §1.3).
+  *
+  * Field nullability mirrors the reference's dict-key presence:
+  * `answer`/`solution` keys are only set when found
+  * (`/root/reference/core/main.py:178-201,255-291`), so they are `null`
+  * (not "") when absent; `options` is null for theory questions and
+  * `subparts` is empty for mcq.
+  */
+final case class SubSub(part: String, question: String)
+final case class Subpart(part: String, question: String,
+                         subparts: Seq[SubSub], solution: String)
+final case class Options(A: String, B: String, C: String, D: String) {
+  def anyNonEmpty: Boolean = A.nonEmpty || B.nonEmpty || C.nonEmpty || D.nonEmpty
+}
+final case class Question(section: String, qtype: String, number: Int,
+                          question: String, options: Options,
+                          subparts: Seq[Subpart], diagrams: Seq[String],
+                          answer: String, solution: String)
+
+final case class ParsedPage(questions: Seq[Question], next: String)
+
+/** Faithful re-expression of the reference spider's per-page parse
+  * (`/root/reference/core/main.py`, class `KuulchatSpider`). One pass over
+  * the DOM; pure function of the html string — runs row-wise inside a Spark
+  * projection (no shuffle).
+  */
+object QuestionParser {
+
+  // --- compiled patterns (CPython `re` → java.util.regex, verified parity) --
+  private val numSearch = Pattern.compile("(\\d+)\\.")
+  private val candidate = Pattern.compile("\\b\\d+\\.\\s+")
+  private val markOrSolution = Pattern.compile("\\s+(?:Mark|Solution)\\s+")
+  private val showSolution = Pattern.compile("\\s+Show Solution\\s+")
+  private val optionSplit = Pattern.compile("\\s+[A-D]\\.\\s+")
+  private val wsRun = Pattern.compile("\\s+")
+  private val trailingDot = Pattern.compile("\\.$")
+  private val bullet = Pattern.compile("^\\s*[-•]\\s*")
+  private val anyLetter = Pattern.compile("([A-D])")
+  private val mainPartSplit = Pattern.compile("\\s*\\(([a-d])\\)\\s*")
+  private val subPartSplit = Pattern.compile("\\s*\\(([ivx]+|[a-z])\\)\\s*")
+  private val solutionPrefix =
+    Pattern.compile("^solution\\s*", Pattern.CASE_INSENSITIVE)
+  // extract_options_from_text patterns, core/main.py:226-233 (MULTILINE and
+  // DOTALL are set in the reference; text is single-line post-clean but the
+  // flags are kept for fidelity).
+  private val optFlags = Pattern.MULTILINE | Pattern.DOTALL
+  private val optPatterns = Seq(
+    Pattern.compile("([A-D])\\.\\s*([^A-D]*?)(?=\\s+[A-D]\\.|$)", optFlags),
+    Pattern.compile("([A-D])\\s*\\.\\s*([^A-D]*?)(?=\\s*[A-D]\\s*\\.|$)", optFlags),
+    Pattern.compile("([A-D])\\s*\\.?\\s*([^\\n]*?)(?=\\s*[A-D]\\s*\\.|\\n[A-D]\\s*\\.|$)", optFlags))
+  // extract_answer_info patterns, core/main.py:267-272 (IGNORECASE).
+  private val answerPatterns = Seq(
+    "answer is ([A-D])", "correct answer is ([A-D])", "option ([A-D])",
+    "^([A-D])\\.").map(p => Pattern.compile(p, Pattern.CASE_INSENSITIVE))
+  private val adKeywords = Seq( // core/main.py:81-89
+    "sponsored", "advertise", "kuulchat media", "kuulpay.com",
+    "get a professional", "affordable website", "management system")
+  private val adImagePatterns = Seq("banner", "ad", "sponsor", "promo")
+
+  import Extract.{cleanText, fullText}
+
+  // --- element predicates ---------------------------------------------------
+
+  /** `is_advertisement` — core/main.py:74-91. */
+  def isAdvertisement(e: HElem): Boolean = {
+    val t = fullText(e).toLowerCase
+    adKeywords.exists(t.contains)
+  }
+
+  /** `is_ad_image` — core/main.py:367-378: `/qns/` whitelists; else the ad
+    * patterns blacklist; null/empty src is an ad.
+    */
+  def isAdImage(src: String): Boolean = {
+    if (src == null || src.isEmpty) true
+    else if (src.contains("/qns/")) false
+    else { val l = src.toLowerCase; adImagePatterns.exists(l.contains) }
+  }
+
+  /** `fix_image_url` — core/main.py:353-365. */
+  def fixImageUrl(src: String): String = {
+    val idx = src.lastIndexOf('/')
+    if (idx >= 0) src.substring(0, idx) + "/" + PyText.pyQuote(src.substring(idx + 1))
+    else PyText.pyQuote(src)
+  }
+
+  /** `extract_all_diagrams` — core/main.py:331-351: imgs in document order,
+    * ad-filtered, URL-fixed, first-occurrence dedup.
+    */
+  def extractAllDiagrams(container: HElem): Seq[String] = {
+    val fixed = (Iterator.single(container) ++ container.descendants)
+      .filter(_.tag == "img")
+      .flatMap(_.attr("src"))
+      .filterNot(isAdImage)
+      .map(fixImageUrl)
+      .toVector
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    fixed.foreach(seen += _)
+    seen.toVector
+  }
+
+  // --- mcq parsing ------------------------------------------------------------
+
+  /** `extract_question_stem` — core/main.py:207-219. */
+  def extractQuestionStem(questionPart: String, questionNum: Int): String = {
+    val numStrip = Pattern.compile("^" + questionNum + "\\.?\\s*")
+    val text = numStrip.matcher(questionPart).replaceFirst("")
+    val (head, _, _) = PyText.split1(optionSplit, text)
+    wsRun.matcher(PyText.pyStrip(head)).replaceAll(" ")
+  }
+
+  /** `extract_options_from_text` — core/main.py:221-253. Pattern priority +
+    * first-non-empty-wins per letter.
+    */
+  def extractOptions(text: String): Options = {
+    val acc = scala.collection.mutable.Map("A" -> "", "B" -> "", "C" -> "", "D" -> "")
+    optPatterns.foreach { p =>
+      val m = p.matcher(text)
+      while (m.find()) {
+        val letter = m.group(1)
+        var opt = PyText.pyStrip(m.group(2))
+        opt = wsRun.matcher(opt).replaceAll(" ")
+        opt = trailingDot.matcher(opt).replaceAll("")
+        opt = bullet.matcher(opt).replaceAll("")
+        if (acc.contains(letter) && opt.nonEmpty && acc(letter).isEmpty)
+          acc(letter) = opt
+      }
+    }
+    Options(acc("A"), acc("B"), acc("C"), acc("D"))
+  }
+
+  /** `clean_solution_text` — core/main.py:293-304. */
+  def cleanSolutionText(s: String): String = {
+    if (s == null || s.isEmpty) return ""
+    PyText.pyStrip(wsRun.matcher(solutionPrefix.matcher(s).replaceFirst("")).replaceAll(" "))
+  }
+
+  /** `extract_answer_info` — core/main.py:255-291. Returns (answerOrNull,
+    * solutionOrNull, foundAnything). None-equivalent = (null, null, false).
+    */
+  def extractAnswerInfo(solutionText: String): (String, String, Boolean) = {
+    if (solutionText == null || solutionText.isEmpty) return (null, null, false)
+    val cleanSolution = PyText.pyStrip(solutionText)
+    var answer: String = null
+    val it = answerPatterns.iterator
+    while (answer == null && it.hasNext) {
+      val m = it.next().matcher(cleanSolution)
+      if (m.find()) answer = m.group(1).toUpperCase
+    }
+    (answer, cleanSolutionText(cleanSolution), true)
+  }
+
+  /** `extract_answer_from_html` — core/main.py:306-329. Checkmark spans /
+    * `.correct` / `[data-answer]` elements scanned for a letter; then the
+    * hard-coded "light to electrical" → "B" special case on solution divs.
+    */
+  def extractAnswerFromHtml(container: HElem): String = {
+    val all = (Iterator.single(container) ++ container.descendants).toVector
+    // css 'span:contains("✓"), .correct, [data-answer]' — union, doc order.
+    val answerElems = all.filter { e =>
+      (e.tag == "span" && e.stringValue.contains("✓")) ||
+        e.hasClass("correct") || e.attrs.contains("data-answer")
+    }
+    answerElems.foreach { e =>
+      val m = anyLetter.matcher(fullText(e))
+      if (m.find()) return m.group(1).toUpperCase
+    }
+    // css 'div:contains("Solution"), .solution'
+    val solutionElems = all.filter { e =>
+      (e.tag == "div" && e.stringValue.contains("Solution")) || e.hasClass("solution")
+    }
+    solutionElems.foreach { e =>
+      if (fullText(e).toLowerCase.contains("light to electrical")) return "B"
+    }
+    null
+  }
+
+  /** `parse_objective_question_improved` — core/main.py:152-205. */
+  def parseObjective(container: HElem): Option[Question] =
+    parseObjective(container, fullText(container))
+
+  /** Hot-path overload: `full` is the container's already-extracted clean
+    * text (the page loop computes it once per sibling and reuses it for the
+    * stop/ad/candidate checks and the parse — the reference recomputes it,
+    * `core/main.py:139+154`, with identical result since the function is pure).
+    */
+  def parseObjective(container: HElem, full: String): Option[Question] = {
+    val numM = numSearch.matcher(full)
+    if (!numM.find()) return None
+    val questionNum = numM.group(1).toInt
+
+    val (questionPart, solutionPart, _) = PyText.split1(markOrSolution, full)
+    val questionText = extractQuestionStem(questionPart, questionNum)
+    val options = extractOptions(questionPart)
+    var (answer, solution, found) = extractAnswerInfo(solutionPart)
+    if (!found || answer == null) {
+      val htmlAnswer = extractAnswerFromHtml(container)
+      if (htmlAnswer != null) answer = htmlAnswer
+      // reference: if answer_info was None it becomes {"answer": ...} with no
+      // solution key — solution stays null in that branch.
+    }
+    val diagrams = extractAllDiagrams(container)
+
+    if (questionText.nonEmpty && options.anyNonEmpty && questionNum > 0)
+      Some(Question("objective", "mcq", questionNum, questionText, options,
+        Seq.empty, diagrams, answer, solution))
+    else None
+  }
+
+  // --- theory parsing ---------------------------------------------------------
+
+  /** `parse_sub_subparts_improved` — core/main.py:494-513. */
+  def parseSubSubparts(content: String): Seq[SubSub] = {
+    val parts = PyText.splitWithCaptures(subPartSplit, content)
+    if (parts.length < 3) return Seq.empty
+    val out = Seq.newBuilder[SubSub]
+    var i = 1
+    while (i < parts.length) {
+      if (i + 1 < parts.length) {
+        val sub = PyText.pyStrip(parts(i + 1))
+        if (sub.nonEmpty) out += SubSub(s"(${parts(i)})", sub)
+      }
+      i += 2
+    }
+    out.result()
+  }
+
+  /** `parse_theory_structure_improved` — core/main.py:460-492. */
+  def parseTheoryStructure(questionPart: String, questionNum: Int): (String, Seq[Subpart]) = {
+    val numStrip = Pattern.compile("^" + questionNum + "\\.?\\s*")
+    val content = numStrip.matcher(questionPart).replaceFirst("")
+    val mainParts = PyText.splitWithCaptures(mainPartSplit, content)
+    if (mainParts.length < 3) return (PyText.pyStrip(content), Seq.empty)
+    val mainQuestion = PyText.pyStrip(mainParts(0))
+    val subparts = Seq.newBuilder[Subpart]
+    var i = 1
+    while (i < mainParts.length) {
+      if (i + 1 < mainParts.length) {
+        val letter = mainParts(i)
+        val partContent = PyText.pyStrip(mainParts(i + 1))
+        val subs = parseSubSubparts(partContent)
+        subparts += Subpart(s"($letter)",
+          if (subs.isEmpty) partContent else "", subs, null)
+      }
+      i += 2
+    }
+    (mainQuestion, subparts.result())
+  }
+
+  /** `integrate_theory_solutions` — core/main.py:515-529: per-letter lazy
+    * regex lookup into the solution text.
+    */
+  def integrateTheorySolutions(subparts: Seq[Subpart], solutionPart: String): Seq[Subpart] =
+    subparts.map { sp =>
+      val letter = sp.part.stripPrefix("(").stripSuffix(")")
+      val p = Pattern.compile(
+        "\\(" + letter + "\\)(.*?)(?=\\([a-d]\\)|$)", Pattern.DOTALL)
+      val m = p.matcher(solutionPart)
+      if (m.find()) sp.copy(solution = PyText.pyStrip(m.group(1))) else sp
+    }
+
+  /** `parse_theory_question_improved` — core/main.py:420-458. */
+  def parseTheory(container: HElem): Option[Question] =
+    parseTheory(container, fullText(container))
+
+  def parseTheory(container: HElem, full: String): Option[Question] = {
+    val numM = numSearch.matcher(full)
+    if (!numM.find()) return None
+    val questionNum = numM.group(1).toInt
+
+    val (questionPart, solutionPart, _) = PyText.split1(showSolution, full)
+    var (mainQuestion, subparts) = parseTheoryStructure(questionPart, questionNum)
+    if (solutionPart.nonEmpty)
+      subparts = integrateTheorySolutions(subparts, solutionPart)
+    val diagrams = extractAllDiagrams(container)
+
+    if (mainQuestion.nonEmpty || subparts.nonEmpty)
+      Some(Question("theory", "theory", questionNum, mainQuestion, null,
+        subparts, diagrams, null, null))
+    else None
+  }
+
+  // --- page-level orchestration ------------------------------------------------
+
+  private def findSectionHeader(root: HElem, title: String): Option[(HElem, Int)] = {
+    // css 'h4.center:contains("<title>")' → first match in document order,
+    // returned with its parent so following-sibling::* can be walked.
+    def walk(parent: HElem): Option[(HElem, Int)] = {
+      parent.children.zipWithIndex.foreach {
+        case (e: HElem, idx) =>
+          if (e.tag == "h4" && e.hasClass("center") && e.stringValue.contains(title))
+            return Some((parent, idx))
+          val r = walk(e)
+          if (r.isDefined) return r
+        case _ =>
+      }
+      None
+    }
+    walk(root)
+  }
+
+  private def followingSiblings(parent: HElem, idx: Int): Vector[HElem] =
+    parent.children.drop(idx + 1).collect { case e: HElem => e }
+
+  /** `extract_objective_questions` — core/main.py:116-150. */
+  def extractObjectiveQuestions(root: HElem): Seq[Question] = {
+    findSectionHeader(root, "OBJECTIVE TEST") match {
+      case None => Seq.empty
+      case Some((parent, idx)) =>
+        val acc = Vector.newBuilder[Question]
+        val sibs = followingSiblings(parent, idx)
+        var stop = false
+        sibs.foreach { sib =>
+          if (!stop) {
+            val ft = fullText(sib)
+            if (ft.contains("THEORY QUESTIONS")) stop = true
+            else if (!adKeywords.exists(ft.toLowerCase.contains)) {
+              if (candidate.matcher(ft).find())
+                parseObjective(sib, ft).foreach(acc += _)
+            }
+          }
+        }
+        // Python list.sort is stable; Scala sortBy is stable (TimSort).
+        acc.result().sortBy(_.number)
+    }
+  }
+
+  /** `extract_theory_questions` — core/main.py:380-418: sort by number, then
+    * first-wins dedup on number.
+    */
+  def extractTheoryQuestions(root: HElem): Seq[Question] = {
+    findSectionHeader(root, "THEORY QUESTIONS") match {
+      case None => Seq.empty
+      case Some((parent, idx)) =>
+        val acc = Vector.newBuilder[Question]
+        followingSiblings(parent, idx).foreach { sib =>
+          val ft = fullText(sib)
+          if (!adKeywords.exists(ft.toLowerCase.contains)) {
+            if (candidate.matcher(ft).find())
+              parseTheory(sib, ft).foreach(acc += _)
+          }
+        }
+        val sorted = acc.result().sortBy(_.number)
+        val seen = scala.collection.mutable.HashSet.empty[Int]
+        sorted.filter(q => seen.add(q.number))
+    }
+  }
+
+  /** Pagination link — css 'a.next::attr(href), .pagination
+    * a:contains("Next")::attr(href)', first match in document order
+    * (core/main.py:110-114).
+    */
+  def extractNext(root: HElem): String = {
+    def pagAnchor(e: HElem): Option[String] =
+      if (e.hasClass("pagination"))
+        e.descendants.find(a => a.tag == "a" && a.stringValue.contains("Next"))
+          .flatMap(_.attr("href"))
+      else None
+    val anchors = root.descendants.flatMap { e =>
+      if (e.tag == "a" && e.hasClass("next")) e.attr("href")
+      else pagAnchor(e)
+    }
+    if (anchors.hasNext) anchors.next() else null
+  }
+
+  /** `parse(response)` — core/main.py:93-114: objectives then theory, plus
+    * the next-page href.
+    */
+  def parsePage(html: String): ParsedPage = {
+    val root = Html.parse(html)
+    val qs = extractObjectiveQuestions(root) ++ extractTheoryQuestions(root)
+    ParsedPage(qs, extractNext(root))
+  }
+
+  def parsePage(htmlBytes: Array[Byte]): ParsedPage =
+    parsePage(new String(htmlBytes, java.nio.charset.StandardCharsets.UTF_8))
+}

@@ -1,0 +1,83 @@
+package graft.util
+
+import graft.functions.{Options, Question, SubSub, Subpart}
+
+/** Tiny JSON writer (no JSON lib in the offline jar set beyond Spark's
+  * internals). Emits the reference's dict shapes: `answer`/`solution` keys
+  * present only when the reference would have set them
+  * (`/root/reference/core/main.py:178-203,449-456,515-529`).
+  */
+object Json {
+  def str(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 2)
+    sb.append('"')
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"')
+    sb.toString
+  }
+
+  def arr(items: Seq[String]): String = items.mkString("[", ",", "]")
+  def obj(fields: Seq[(String, String)]): String =
+    fields.map { case (k, v) => str(k) + ":" + v }.mkString("{", ",", "}")
+
+  def options(o: Options): String =
+    obj(Seq("A" -> str(o.A), "B" -> str(o.B), "C" -> str(o.C), "D" -> str(o.D)))
+
+  def subSub(s: SubSub): String =
+    obj(Seq("part" -> str(s.part), "question" -> str(s.question)))
+
+  def subpart(s: Subpart): String = {
+    val base = Seq("part" -> str(s.part), "question" -> str(s.question),
+      "subparts" -> arr(s.subparts.map(subSub)))
+    obj(if (s.solution != null) base :+ ("solution" -> str(s.solution)) else base)
+  }
+
+  def question(q: Question): String = {
+    val base = Seq(
+      "section" -> str(q.section), "type" -> str(q.qtype),
+      "number" -> q.number.toString, "question" -> str(q.question)) ++
+      (if (q.options != null) Seq("options" -> options(q.options)) else Nil) ++
+      (if (q.qtype == "theory") Seq("subparts" -> arr(q.subparts.map(subpart))) else Nil) ++
+      Seq("diagrams" -> arr(q.diagrams.map(str))) ++
+      (if (q.answer != null) Seq("answer" -> str(q.answer)) else Nil) ++
+      (if (q.solution != null) Seq("solution" -> str(q.solution)) else Nil)
+    obj(base)
+  }
+
+  // --- canonical (alpha-sorted keys) forms for golden comparison ------------
+  // (dict-insertion order in the reference is path-dependent — e.g. the
+  // html-answer fallback inserts "answer" after "solution" — so goldens
+  // compare in sorted-key form, matching json.dumps(sort_keys=True).)
+
+  def canonicalSubSub(s: SubSub): String =
+    obj(Seq("part" -> str(s.part), "question" -> str(s.question)))
+
+  def canonicalSubpart(s: Subpart): String = {
+    val fields = Seq("part" -> str(s.part), "question" -> str(s.question)) ++
+      (if (s.solution != null) Seq("solution" -> str(s.solution)) else Nil) ++
+      Seq("subparts" -> arr(s.subparts.map(canonicalSubSub)))
+    obj(fields)
+  }
+
+  def canonicalQuestion(q: Question): String = {
+    val fields =
+      (if (q.answer != null) Seq("answer" -> str(q.answer)) else Nil) ++
+      Seq("diagrams" -> arr(q.diagrams.map(str)),
+        "number" -> q.number.toString) ++
+      (if (q.options != null) Seq("options" -> options(q.options)) else Nil) ++
+      Seq("question" -> str(q.question), "section" -> str(q.section)) ++
+      (if (q.solution != null) Seq("solution" -> str(q.solution)) else Nil) ++
+      (if (q.qtype == "theory")
+        Seq("subparts" -> arr(q.subparts.map(canonicalSubpart))) else Nil) ++
+      Seq("type" -> str(q.qtype))
+    obj(fields)
+  }
+}
