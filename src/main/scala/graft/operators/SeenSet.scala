@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+import graft.plans.SnapshotTable
+import graft.util.CuckooFilter
+
+/** URL-seen set (SURVEY §2.3 J4, §2.9; north rule's bloom/cuckoo pipeline).
+  *
+  * Three tiers, composable per wave over candidate urls:
+  *
+  *  1. **Broadcast Bloom pre-filter** — maintained incrementally (union of
+  *     per-wave inserts, `BloomFilter.mergeInPlace`), persisted per wave for
+  *     resume. `mightContain == false` proves NOT-seen: those candidates skip
+  *     the confirm shuffle entirely. At 1% fpp only ~1% of genuinely-new urls
+  *     pay the confirm cost.
+  *  2. **Exact confirm** — left-anti join of the (already bloom-thinned)
+  *     suspects against the seen log on `url_hash`. Exact semantics: the
+  *     final seen set equals the reference run's (dedup-on-request,
+  *     first-wins). This is the default confirm tier.
+  *  3. **Cuckoo confirm** — P partitioned cuckoo shards
+  *     (`pmod(url_hash, P)`), each merged per wave via a cogroup (shard blob
+  *     meets its wave inserts on the same reducer — never broadcast, never
+  *     driver-collected). O(1) memory probes instead of scanning the seen
+  *     log; ~1.2e-4 false-positive rate (a false positive skips a fetch), no
+  *     false negatives. Bench tier for the 10^10-scale path.
+  *
+  * Dedup analogs in the reference: Scrapy's request dupefilter (implicit),
+  * diagram seen-set `/root/reference/core/main.py:344-351`, theory number
+  * seen-set `core/main.py:409-415`.
+  */
+object SeenSet {
+
+  sealed trait Strategy
+  case object ExactAnti extends Strategy          // plain left-anti (baseline)
+  case object BloomExact extends Strategy         // bloom pre-filter + exact confirm
+  case object BloomCuckoo extends Strategy        // bloom pre-filter + cuckoo confirm
+
+  final case class ShardBlob(shard: Int, blob: Array[Byte])
+
+  /** Deterministic url hash used across the engine (no sign issues in pmod). */
+  def urlHashCol(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    xxhash64(url)
+
+  // --- bloom tier -----------------------------------------------------------
+
+  final class Bloom(expected: Long, fpp: Double) extends Serializable {
+    var filter: BloomFilter = BloomFilter.create(expected, fpp)
+    def addWave(hashes: Array[Long]): Unit = hashes.foreach(filter.putLong)
+    def save(spark: SparkSession, dir: String, wave: Int): Unit = {
+      val p = new Path(dir, f"bloom_v$wave%05d.bin")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try filter.writeTo(out) finally out.close()
+    }
+  }
+
+  object Bloom {
+    def load(spark: SparkSession, dir: String): Option[(Int, Bloom)] = {
+      val d = new Path(dir)
+      val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(d)) return None
+      val vs = fs.listStatus(d).map(_.getPath.getName)
+        .filter(n => n.startsWith("bloom_v") && n.endsWith(".bin"))
+        .map(_.stripPrefix("bloom_v").stripSuffix(".bin").toInt)
+      if (vs.isEmpty) None
+      else {
+        val v = vs.max
+        val in = fs.open(new Path(d, f"bloom_v$v%05d.bin"))
+        val b = new Bloom(1, 0.5)
+        try b.filter = BloomFilter.readFrom(in) finally in.close()
+        Some((v, b))
+      }
+    }
+  }
+
+  // --- probe: candidates → fresh (not seen) ----------------------------------
+  // `candidates` must carry `url_hash: Long`. Returns candidates minus seen.
+
+  /** Tier 2/baseline: exact anti-join against the seen log. */
+  def exactFresh(candidates: DataFrame, seenLog: DataFrame): DataFrame =
+    candidates.join(seenLog.select(col("url_hash").as("seen_hash")),
+      candidates("url_hash") === col("seen_hash"), "left_anti")
+
+  /** Bloom split: (definitely-new, suspects). No shuffle — a broadcast-udf
+    * filter that prunes the confirm join's build side.
+    */
+  def bloomSplit(spark: SparkSession, candidates: DataFrame, bloom: Bloom)
+      : (DataFrame, DataFrame) = {
+    val bc = spark.sparkContext.broadcast(bloom.filter)
+    val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
+    (candidates.filter(!mightContain(col("url_hash"))),
+      candidates.filter(mightContain(col("url_hash"))))
+  }
+
+  /** Tier 3: cuckoo-shard confirm via cogroup (shard-aligned, distributed). */
+  def cuckooFresh(spark: SparkSession, candidates: DataFrame,
+                  shardTable: SnapshotTable, shards: Int): DataFrame = {
+    import spark.implicits._
+    val cands = candidates.withColumn("shard",
+      pmod(col("url_hash"), lit(shards)).cast("int"))
+    val enc = org.apache.spark.sql.Encoders.row(cands.schema)
+    val shardIdx = cands.schema.fieldIndex("shard")
+    val hashIdx = cands.schema.fieldIndex("url_hash")
+    val blobs: Dataset[ShardBlob] =
+      if (shardTable.isEmpty) spark.emptyDataset[ShardBlob]
+      else shardTable.read().as[ShardBlob]
+    cands
+      .groupByKey(_.getInt(shardIdx))
+      .cogroup(blobs.groupByKey(_.shard)) { (_, rows, blobIt) =>
+        val filterOpt = blobIt.toSeq.headOption.map(b => CuckooFilter.deserialize(b.blob))
+        filterOpt match {
+          case None => rows
+          case Some(f) => rows.filter(r => !f.contains(r.getLong(hashIdx)))
+        }
+      }(enc)
+      .drop("shard")
+  }
+
+  /** Merge this wave's inserts into the cuckoo shard table (cogroup: each
+    * shard blob meets its inserts on one reducer).
+    */
+  def cuckooInsert(spark: SparkSession, newHashes: Dataset[Long],
+                   shardTable: SnapshotTable, shards: Int, perShardCapacity: Long,
+                   wave: Int): Unit = {
+    import spark.implicits._
+    val byShard = newHashes.map(h => (((h % shards) + shards) % shards, h))
+      .toDF("shard", "h").as[(Long, Long)]
+    val blobs: Dataset[ShardBlob] =
+      if (shardTable.isEmpty) spark.emptyDataset[ShardBlob]
+      else shardTable.read().as[ShardBlob]
+    val merged = byShard.groupByKey(_._1.toInt)
+      .cogroup(blobs.groupByKey(_.shard)) { (shard, ins, blobIt) =>
+        val f = blobIt.toSeq.headOption
+          .map(b => CuckooFilter.deserialize(b.blob))
+          .getOrElse(CuckooFilter.create(perShardCapacity))
+        var ok = true
+        ins.foreach { case (_, h) => ok &= f.insert(h) }
+        if (!ok) throw new IllegalStateException(
+          s"cuckoo shard $shard saturated — raise perShardCapacity")
+        Iterator.single(ShardBlob(shard, f.serialize()))
+      }
+    // untouched shards must survive the snapshot replace
+    val untouched = blobs.join(merged, Seq("shard"), "left_anti").as[ShardBlob]
+    shardTable.commit(merged.unionByName(untouched).toDF(), wave, append = false)
+  }
+
+  /** Order-insensitive digest of a url set (SURVEY A9 / FIXTURES §4):
+    * (count, bit_xor(xxhash64(url))) — equality proof vs the reference run.
+    * XOR instead of sum: overflow-free under ANSI mode, commutative, and the
+    * set is duplicate-free so pair-cancellation can't occur.
+    */
+  def digest(df: DataFrame, urlCol: String = "url"): (Long, Long) = {
+    val r = df.select(xxhash64(col(urlCol)).as("h"))
+      .agg(count(lit(1)), expr("bit_xor(h)")).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+}

@@ -1,0 +1,100 @@
+package graft.plans
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Iceberg-style snapshot table emulation (SURVEY §7.3).
+  *
+  * No Iceberg runtime ships in the offline jar set, so this provides the
+  * subset the north rule needs — snapshot isolation, atomic commit,
+  * partition layout, resumable reads — over plain Parquet:
+  *
+  * ```
+  * <root>/<name>/data/wave=<n>/part-*.parquet      (data, partition layout)
+  * <root>/<name>/_snapshots/v<k>.manifest          (atomic rename commit)
+  * ```
+  *
+  * A manifest lists the data directories visible in that snapshot plus
+  * key=value metadata. Commit protocol: write data, write manifest to a tmp
+  * path, `FileSystem.rename` (atomic on HDFS/local) to `v<k>.manifest`.
+  * Readers resolve `latest` then read only listed directories — writers never
+  * mutate committed files, so a reader mid-commit sees the previous snapshot.
+  * Swapping in a real `iceberg-spark-runtime` catalog replaces this class
+  * verbatim behind the same five methods.
+  */
+final class SnapshotTable(spark: SparkSession, root: String, name: String) {
+
+  private val base = new Path(root, name)
+  private val snapsDir = new Path(base, "_snapshots")
+  private def fs: FileSystem = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(v: Int) = new Path(snapsDir, f"v$v%06d.manifest")
+
+  def latestVersion: Option[Int] = {
+    if (!fs.exists(snapsDir)) return None
+    val vs = fs.listStatus(snapsDir).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+      .map(n => n.stripPrefix("v").stripSuffix(".manifest").toInt)
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  private def readManifest(v: Int): (Seq[String], Map[String, String]) = {
+    val in = fs.open(manifestPath(v))
+    val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val lines = content.split("\n").filter(_.nonEmpty)
+    val dirs = lines.filter(_.startsWith("dir=")).map(_.stripPrefix("dir=")).toSeq
+    val meta = lines.filter(_.startsWith("meta."))
+      .map { l => val Array(k, v2) = l.stripPrefix("meta.").split("=", 2); k -> v2 }.toMap
+    (dirs, meta)
+  }
+
+  def meta: Map[String, String] =
+    latestVersion.map(readManifest(_)._2).getOrElse(Map.empty)
+
+  /** Commit `df` as partition `wave=<wave>`. `append=false` → the new
+    * snapshot sees ONLY this wave (frontier semantics: full replace);
+    * `append=true` → previous dirs + this one (seen/lineage/questions logs).
+    */
+  def commit(df: DataFrame, wave: Int, metaKv: Map[String, String] = Map.empty,
+             append: Boolean = true): Unit = {
+    val dataDir = new Path(base, s"data/wave=$wave").toString
+    df.write.mode(SaveMode.Overwrite).parquet(dataDir)
+    val prevDirs: Seq[String] =
+      if (append) latestVersion.map(readManifest(_)._1).getOrElse(Nil) else Nil
+    val dirs = (prevDirs.filterNot(_ == dataDir) :+ dataDir)
+    val v = latestVersion.getOrElse(-1) + 1
+    val body = (dirs.map("dir=" + _) ++
+      (metaKv + ("wave" -> wave.toString)).map { case (k, v2) => s"meta.$k=$v2" })
+      .mkString("", "\n", "\n")
+    fs.mkdirs(snapsDir)
+    val tmp = new Path(snapsDir, s".v$v.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, manifestPath(v)))
+      throw new IllegalStateException(s"snapshot commit race on $name v$v")
+  }
+
+  def isEmpty: Boolean = latestVersion.isEmpty ||
+    readManifest(latestVersion.get)._1.isEmpty
+
+  /** Read the latest snapshot (empty DataFrame with no snapshot is the
+    * caller's job to handle via isEmpty).
+    */
+  def read(): DataFrame = {
+    val (dirs, _) = readManifest(latestVersion.getOrElse(
+      throw new IllegalStateException(s"no snapshot for $name")))
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** Truncate: next snapshot sees nothing (used to mark frontier-exhausted). */
+  def commitEmpty(wave: Int, metaKv: Map[String, String] = Map.empty): Unit = {
+    val v = latestVersion.getOrElse(-1) + 1
+    val body = (metaKv + ("wave" -> wave.toString))
+      .map { case (k, v2) => s"meta.$k=$v2" }.mkString("", "\n", "\n")
+    fs.mkdirs(snapsDir)
+    val tmp = new Path(snapsDir, s".v$v.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    fs.rename(tmp, manifestPath(v))
+  }
+}

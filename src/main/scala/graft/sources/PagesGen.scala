@@ -235,12 +235,14 @@ object PagesGen {
       if (q == 1 && (h % 5) == 0) theory(b, w, h + 1, q) // duplicate number — O2
     }
 
-    if (pageIdx < ChainLen - 1) {
-      b.tag("""<div class="pagination">""")
-      b.tag(s"""<a class="next" href="/bece/questions/$subject-$year/c$chain/p${pageIdx + 1}">""")
-      b.raw("Next")
-      b.tag("</a></div>")
-    }
+    // p0→p1→…→p(L-1)→p0: the last page cycles back to the seed, so every
+    // chain re-candidates one already-seen url per full crawl — the URL-seen
+    // anti-join (J4) is exercised on every chain, as on real sites.
+    val nextIdx = if (pageIdx < ChainLen - 1) pageIdx + 1 else 0
+    b.tag("""<div class="pagination">""")
+    b.tag(s"""<a class="next" href="/bece/questions/$subject-$year/c$chain/p$nextIdx">""")
+    b.raw("Next")
+    b.tag("</a></div>")
     b.tag("</body></html>")
 
     val golden = graft.functions.Extract.cleanText(b.segs.mkString(" "))

@@ -1,0 +1,42 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.CrawlEngine
+import graft.operators.SeenSet
+
+/** CLI entry: run the wave-loop crawl end-to-end on a scale dir.
+  *
+  * Usage: CrawlRun [sfDir] [storeDir] [strategy: exact|bloomexact|bloomcuckoo]
+  *                 [cpus]
+  */
+object CrawlRun {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val store = if (args.length > 1) args(1)
+      else java.nio.file.Files.createTempDirectory("graft-crawl").toString
+    val strategy = (if (args.length > 2) args(2) else "bloomexact") match {
+      case "exact" => SeenSet.ExactAnti
+      case "bloomcuckoo" => SeenSet.BloomCuckoo
+      case _ => SeenSet.BloomExact
+    }
+    val cpus = if (args.length > 3) args(3) else sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-crawl")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val t0 = System.nanoTime()
+    val r = CrawlEngine.run(spark, sfDir, store)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val rate = (r.fetched + r.deduped) / sec
+    println(f"""{"waves":${r.waves},"fetched":${r.fetched},"deduped":${r.deduped},"errors":${r.errors},"seen_count":${r.seenCount},"seen_digest":${r.seenDigest},"trace_digest":${CrawlEngine.traceDigest(spark, store)},"sec":$sec%.2f,"urls_per_sec":$rate%.1f,"store":"$store"}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SeenSet
+import graft.sources.PagesGen
+
+/** End-to-end crawl semantics (SURVEY §5.2 items 2-4):
+  * coverage, dedup, politeness budgets, robots gate, chain ordering,
+  * partition-count invariance, resume-equivalence, lineage reconciliation,
+  * strategy equivalence (exact vs bloom+exact vs bloom+cuckoo).
+  */
+class CrawlEngineSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+  private val sf = "/root/testdata/sf0.001"
+
+  private def freshStore(tag: String): String =
+    Files.createTempDirectory(s"graft-$tag").toString
+
+  // one reference run, reused by several asserts
+  private lazy val store = freshStore("crawl")
+  private lazy val result = CrawlEngine.run(spark, sf, store,
+    CrawlEngine.Config(strategy = SeenSet.BloomExact))
+
+  private def pagesCount: Long =
+    spark.read.parquet(s"$sf/documents.parquet").count()
+
+  private def blockedChains: Long = {
+    import spark.implicits._
+    spark.read.parquet(s"$sf/documents.parquet").select("doc_id").as[Long]
+      .collect().count(id => PagesGen.hostIdOf(id) == 13)
+  }
+
+  test("crawl covers every reachable page exactly once, no errors") {
+    // all pages on allowed hosts are reachable (chains are cycles from seeds)
+    assert(result.errors == 0)
+    assert(result.fetched == pagesCount - blockedChains)
+    assert(result.seenCount == result.fetched)
+  }
+
+  test("dedup fires once per completed allowed chain (cycle closure)") {
+    import spark.implicits._
+    val chains = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").as[Long].collect()
+      .filter(id => PagesGen.pageIdxOf(id) == 0 && PagesGen.hostIdOf(id) != 13)
+      .length
+    assert(result.deduped == chains.toLong)
+  }
+
+  test("politeness: per (wave, host) fetch count never exceeds the budget") {
+    val logs = CrawlEngine.orderingTrace(spark, store)
+    val waveMs = CrawlEngine.Config().waveDurationMs
+    val over = logs.groupBy("wave", "host").agg(count(lit(1)).as("n"))
+      .withColumn("budget",
+        when(col("host") === "h0.example.test", lit(waveMs / 2000))
+          .otherwise(lit(waveMs / 1000)))
+      .filter(col("n") > col("budget"))
+    assert(over.count() == 0)
+  }
+
+  test("robots gate: disallowed host is never fetched") {
+    val logs = CrawlEngine.orderingTrace(spark, store)
+    assert(logs.filter(col("host") === "h13.example.test").count() == 0)
+  }
+
+  test("chain ordering: every chain is fetched p0<p1<p2<p3 by wave") {
+    import spark.implicits._
+    val logs = CrawlEngine.orderingTrace(spark, store)
+      .select("url", "wave").as[(String, Int)].collect().toMap
+    val ids = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").as[Long].collect().filter(PagesGen.hostIdOf(_) != 13)
+    ids.filter(id => PagesGen.pageIdxOf(id) > 0).foreach { id =>
+      val cur = logs(PagesGen.urlOf(id))
+      val prev = logs(PagesGen.urlOf(id - 1))
+      assert(prev < cur, s"chain order violated at doc $id")
+    }
+  }
+
+  test("lineage reconciles: candidates = deduped + blocked + attempted + deferred") {
+    val lineage = new graft.plans.SnapshotTable(spark, store, "lineage").read()
+    val perWave = lineage.groupBy("wave").agg(
+      first("candidates_in_wave").as("cand"),
+      first("deduped_in_wave").as("dd"),
+      first("blocked_in_wave").as("bl"),
+      sum("attempted").as("att"),
+      sum("fetched").as("f"),
+      sum("errors").as("e")).collect()
+    perWave.foreach { r =>
+      val cand = r.getAs[Long]("cand")
+      val used = r.getAs[Long]("dd") + r.getAs[Long]("bl") + r.getAs[Long]("att")
+      assert(used <= cand, s"wave ${r.getAs[Int]("wave")}: $used > $cand")
+      assert(r.getAs[Long]("att") == r.getAs[Long]("f") + r.getAs[Long]("e"))
+    }
+  }
+
+  test("partition-count invariance: same digests under different shuffle parallelism") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      val s2 = freshStore("inv")
+      val r2 = CrawlEngine.run(spark, sf, s2, CrawlEngine.Config(strategy = SeenSet.BloomExact))
+      assert(r2.seenDigest == result.seenDigest && r2.seenCount == result.seenCount)
+      assert(CrawlEngine.traceDigest(spark, s2) == CrawlEngine.traceDigest(spark, store))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("resume-equivalence: interrupted crawl continues to identical state") {
+    val s3 = freshStore("resume")
+    CrawlEngine.run(spark, sf, s3, CrawlEngine.Config(maxWaves = 2))
+    val r3 = CrawlEngine.run(spark, sf, s3, CrawlEngine.Config()) // resume
+    assert(r3.seenDigest == result.seenDigest)
+    assert(CrawlEngine.traceDigest(spark, s3) == CrawlEngine.traceDigest(spark, store))
+  }
+
+  test("strategy equivalence: ExactAnti ≡ BloomExact ≡ BloomCuckoo at test scale") {
+    val sE = freshStore("exact")
+    val rE = CrawlEngine.run(spark, sf, sE, CrawlEngine.Config(strategy = SeenSet.ExactAnti))
+    assert(rE.seenDigest == result.seenDigest && rE.fetched == result.fetched)
+    val sC = freshStore("cuckoo")
+    val rC = CrawlEngine.run(spark, sf, sC, CrawlEngine.Config(strategy = SeenSet.BloomCuckoo))
+    assert(rC.seenDigest == result.seenDigest && rC.fetched == result.fetched)
+    assert(CrawlEngine.traceDigest(spark, sC) == CrawlEngine.traceDigest(spark, store))
+  }
+
+  test("questions were extracted during the crawl") {
+    val q = new graft.plans.SnapshotTable(spark, store, "questions").read()
+    assert(q.count() > 0)
+    assert(q.filter(col("qtype") === "mcq").count() > 0)
+    assert(q.filter(col("qtype") === "theory").count() > 0)
+  }
+}
