@@ -10,25 +10,32 @@ import graft.sources.PagesGen
 
 /** The wave-loop crawl engine (SURVEY §2.8 P5, §3.1, §4 hot path).
   *
-  * Each wave is one Spark job over snapshot tables:
+  * One wave = one pass over the frontier snapshot producing a single
+  * disposition-tagged wave log:
   *
-  *   frontier ──dedup(bloom → confirm)──▶ fresh ──robots+budget──▶ fetchNow
-  *     fetchNow ⋈ pages (broadcast the wave: pages NEVER shuffle) ──▶ fetched
-  *     fetched ──parse (one UDF pass)──▶ questions ⊕ discovered links
-  *     commit: frontier' = deferred ∪ links, seen += fetchNow, fetchlog,
-  *             lineage, questions  (atomic manifest renames → resumable)
+  *   frontier ──dedup flag (bloom → confirm)──┐
+  *                                            ├─▶ waveLog(disp ∈ seen |
+  *   robots ⋈ (broadcast) ── budget rank ─────┘    blocked | deferred | fetch)
+  *   fetch slice ⋈ pages (broadcast the wave — pages NEVER shuffle)
+  *     ──parse once──▶ questions ⊕ discovered links
+  *   commits: fetchlog (doubles as the seen log + lineage source),
+  *            questions, frontier' — atomic manifest renames → resumable.
   *
-  * Determinism: no wall clock (discovery_ts := parent warc_ts), no
-  * monotonically_increasing_id, ordering fully keyed by
-  * (priority, depth, discovery_ts, url) — the same crawl at local[8] and
-  * local[32] yields identical fetchlog traces and seen-set digests
-  * (CrawlEngineSpec asserts this).
+  * Action budget per wave is deliberately small (~9 jobs): at web scale the
+  * per-wave fixed cost is what caps wave frequency, and at bench scale it is
+  * what caps scaling efficiency.
   *
-  * Scale notes (100 TB / 10^10 urls): the per-wave frontier slice is always
-  * ≪ pages, so the fetch join broadcasts the wave and streams pages —
-  * zero shuffle of the big table. Dedup shuffles only bloom-suspects.
-  * Politeness ranks via salted two-phase top-k (hot-host skew, P8).
-  * All state tables are partitioned by wave for pruning.
+  * Determinism: no wall clock (discovery_ts := parent warc_ts), ordering
+  * fully keyed by (priority, depth, discovery_ts, url) — identical traces
+  * and digests at any parallelism (CrawlEngineSpec asserts local[8]-profile
+  * vs local[32]-profile equality; Bench runs the real two-master protocol).
+  *
+  * Scale notes (100 TB / 10^10 urls): the per-wave frontier slice is ≪ pages,
+  * so the fetch join broadcasts the wave and streams pages — zero shuffle of
+  * the big table; parse is spread via an explicit wave repartition (page rows
+  * are small, file-layout partitioning under-splits). Dedup shuffles only
+  * bloom-suspects. Politeness ranks via salted two-phase top-k (hot-host
+  * skew, P8). All state tables are wave-partitioned for pruning.
   */
 object CrawlEngine {
 
@@ -41,7 +48,10 @@ object CrawlEngine {
       bloomFpp: Double = 0.01,
       strategy: SeenSet.Strategy = SeenSet.BloomExact,
       maxWaves: Int = 64,
-      parseQuestions: Boolean = true)
+      parseQuestions: Boolean = true,
+      amplify: Int = 1,
+      broadcastWaveLimit: Long = 400000L,
+      pagesPath: Option[String] = None)
 
   final case class Result(waves: Int, fetched: Long, deduped: Long,
                           errors: Long, seenCount: Long, seenDigest: Long)
@@ -50,9 +60,8 @@ object CrawlEngine {
     "depth", "discovery_ts", "seed_subject", "seed_year")
 
   /** Seeds → initial frontier (priority 0, depth 0, discovery_ts = epoch). */
-  def seedFrontier(spark: SparkSession, sfDir: String): DataFrame = {
-    val seeds = PagesGen.seeds(spark, sfDir).toDF()
-    seeds
+  def seedFrontier(spark: SparkSession, sfDir: String, amplify: Int = 1): DataFrame = {
+    PagesGen.seeds(spark, sfDir, amplify).toDF()
       .withColumn("url_hash", xxhash64(col("url")))
       .withColumn("host", regexp_extract(col("url"), "https?://([^/]+)/", 1))
       .withColumn("priority", lit(0))
@@ -82,18 +91,18 @@ object CrawlEngine {
     import spark.implicits._
 
     val frontierT = new SnapshotTable(spark, storeRoot, "frontier")
-    val seenT = new SnapshotTable(spark, storeRoot, "seen")
     val fetchlogT = new SnapshotTable(spark, storeRoot, "fetchlog")
-    val lineageT = new SnapshotTable(spark, storeRoot, "lineage")
     val questionsT = new SnapshotTable(spark, storeRoot, "questions")
     val cuckooT = new SnapshotTable(spark, storeRoot, "seen_cuckoo")
 
-    // pages staged once per store (stand-in for the live web / WARC store)
-    val pagesPath = s"$storeRoot/pages"
+    // pages staged once (stand-in for the live web / WARC store); an
+    // externally staged path can be shared across runs (Bench does this so
+    // the timed region is pure crawl)
+    val pagesPath = cfg.pagesPath.getOrElse(s"$storeRoot/pages")
     val pagesFs = new org.apache.hadoop.fs.Path(pagesPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!pagesFs.exists(new org.apache.hadoop.fs.Path(pagesPath, "_SUCCESS")))
-      PagesGen.pages(spark, sfDir).toDF()
+      PagesGen.pages(spark, sfDir, cfg.amplify).toDF()
         .write.mode(SaveMode.Overwrite).parquet(pagesPath)
     val pages = spark.read.parquet(pagesPath)
 
@@ -104,89 +113,131 @@ object CrawlEngine {
     // overwritten, manifests dedup directory entries, bloom re-adds are
     // no-ops) — or bootstrap from seeds.
     val startWave = frontierT.meta.get("wave").map(_.toInt).getOrElse {
-      frontierT.commit(seedFrontier(spark, sfDir), 0, append = false)
+      frontierT.commit(seedFrontier(spark, sfDir, cfg.amplify), 0, append = false)
       0
     }
     val bloom = SeenSet.Bloom.load(spark, s"$storeRoot/bloom")
       .map(_._2).getOrElse(new SeenSet.Bloom(cfg.bloomExpected, cfg.bloomFpp))
 
+    def seenLog: DataFrame =
+      if (fetchlogT.isEmpty) spark.emptyDataset[Long].toDF("url_hash")
+      else fetchlogT.read().filter(col("status") =!= "summary").select("url_hash")
+
+    val timing = sys.env.get("GRAFT_WAVE_TIMING").contains("1")
     var wave = startWave
     var done = false
     while (!done && wave < cfg.maxWaves) {
+      val tw0 = System.nanoTime()
       if (frontierT.isEmpty) { done = true }
       else {
-        val frontier = frontierT.read().select(frontierCols.map(col): _*).cache()
-        val nCandidates = frontier.count()
-        if (nCandidates == 0) { done = true }
+        val cands = frontierT.read().select(frontierCols.map(col): _*)
+
+        // ---- dedup flag (J4/U3): is_seen per candidate ----
+        def seenFlagExact(df: DataFrame): DataFrame =
+          df.join(seenLog.withColumn("is_seen", lit(true)), Seq("url_hash"), "left")
+            .withColumn("is_seen", coalesce(col("is_seen"), lit(false)))
+        val flagged: DataFrame = cfg.strategy match {
+          case SeenSet.ExactAnti => seenFlagExact(cands)
+          case SeenSet.BloomExact =>
+            val (defNew, suspects) = SeenSet.bloomSplit(spark, cands, bloom)
+            defNew.withColumn("is_seen", lit(false))
+              .unionByName(seenFlagExact(suspects))
+          case SeenSet.BloomCuckoo =>
+            val (defNew, suspects) = SeenSet.bloomSplit(spark, cands, bloom)
+            defNew.withColumn("is_seen", lit(false))
+              .unionByName(SeenSet.cuckooFlagged(spark, suspects, cuckooT, cfg.cuckooShards))
+        }
+
+        // ---- politeness (J6, O6, P1-P3): rank open rows, tag dispositions ----
+        val waveLog = Politeness.disposition(flagged, robots,
+          cfg.waveDurationMs, cfg.saltBuckets).cache()
+
+        def phase[T](name: String, t0: Long)(f: => T): T = {
+          val r = f
+          if (timing) System.err.println(
+            f"  [phase $name] ${(System.nanoTime() - t0) / 1e9}%.2f")
+          r
+        }
+        val counts = phase("rank+count", System.nanoTime()) {
+          waveLog.groupBy("disp").count().collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+        }
+        val nCandidates = counts.values.sum
+        if (nCandidates == 0) { done = true; waveLog.unpersist() }
         else {
-          // ---- dedup tier (J4/U3) ----
-          val fresh: DataFrame = cfg.strategy match {
-            case SeenSet.ExactAnti =>
-              val seenLog = if (seenT.isEmpty) spark.emptyDataset[Long].toDF("url_hash")
-                            else seenT.read()
-              SeenSet.exactFresh(frontier, seenLog)
-            case SeenSet.BloomExact =>
-              val (defNew, suspects) = SeenSet.bloomSplit(spark, frontier, bloom)
-              val seenLog = if (seenT.isEmpty) spark.emptyDataset[Long].toDF("url_hash")
-                            else seenT.read()
-              defNew.unionByName(SeenSet.exactFresh(suspects, seenLog))
-            case SeenSet.BloomCuckoo =>
-              val (defNew, suspects) = SeenSet.bloomSplit(spark, frontier, bloom)
-              defNew.unionByName(
-                SeenSet.cuckooFresh(spark, suspects, cuckooT, cfg.cuckooShards))
-          }
-          val freshC = fresh.cache()
-          val nFresh = freshC.count()
-          val nDeduped = nCandidates - nFresh
+          val nSeen = counts.getOrElse("seen", 0L)
+          val nBlocked = counts.getOrElse("blocked", 0L)
+          val nDeferred = counts.getOrElse("deferred", 0L)
 
-          // ---- politeness (J6, O6, P1-P3) ----
-          val b = Politeness.budgetTopK(freshC, robots, cfg.waveDurationMs, cfg.saltBuckets)
-          val fetchNow = b.fetchNow.cache()
-          val nAttempt = fetchNow.count()
-          val nBlocked = b.blocked.count()
-
-          // ---- fetch (J5): broadcast the wave, stream the pages table ----
-          val fetched = broadcast(fetchNow)
-            .join(pages, Seq("url"), "left")
+          // ---- fetch (J5): join the wave against the pages table. Small
+          // waves broadcast (pages never shuffle); big waves go through the
+          // shuffle join — pushing 10^5+ rows through a driver broadcast is
+          // the wrong plan at any scale. Threshold ~= autoBroadcast-sized.
+          val fetchSlice = waveLog.filter(col("disp") === "fetch")
+            .select((frontierCols :+ "host_rank").map(col): _*)
+          val nFetch = counts.getOrElse("fetch", 0L)
+          val useBroadcast = nFetch <= cfg.broadcastWaveLimit
+          val waveSide = if (useBroadcast) broadcast(fetchSlice) else fetchSlice
+          val joined0 = waveSide
+            .join(pages.select(col("url"), col("warc_ts"), col("html")), Seq("url"), "left")
+          // broadcast-join output inherits the pages scan's (few, large-file)
+          // partitions — repartition to spread the parse; the shuffle join is
+          // already evenly distributed, a second shuffle of html rows would
+          // just double the heaviest exchange
+          val joined = if (useBroadcast)
+            joined0.repartition(spark.sparkContext.defaultParallelism) else joined0
+          val parsed = joined
             .withColumn("status",
               when(col("html").isNotNull, lit("ok")).otherwise(lit("error")))
-            .cache()
-          val ok = fetched.filter(col("status") === "ok")
-          val nErrors = fetched.filter(col("status") === "error").count()
-          val nFetched = nAttempt - nErrors
-
-          // ---- parse once (extract text, questions, links) ----
-          val parsed = ok
-            .withColumn("parsed", parsePageUdf(col("html")))
-            .select(col("url"), col("host"), col("depth"), col("seed_subject"),
-              col("seed_year"), col("warc_ts"), col("host_rank"),
-              col("parsed.questions").as("questions"),
-              col("parsed.next").as("next"))
+            .withColumn("p",
+              when(col("html").isNotNull, parsePageUdf(col("html"))).otherwise(lit(null)))
+            .drop("html")
             .cache()
 
-          if (cfg.parseQuestions) {
-            val questions = parsed
+          if (cfg.parseQuestions) phase("parse+questions", System.nanoTime()) {
+            questionsT.commit(parsed
               .select(col("url"), col("seed_subject"), col("seed_year"),
-                posexplode_outer(col("questions")).as(Seq("pos", "q")))
+                posexplode_outer(col("p.questions")).as(Seq("pos", "q")))
               .filter(col("q").isNotNull)
               .select(col("url"), col("seed_subject"), col("seed_year"), col("pos"),
                 col("q.section"), col("q.qtype"), col("q.number"), col("q.question"),
                 col("q.options"), col("q.subparts"), col("q.diagrams"),
-                col("q.answer"), col("q.solution"))
-            questionsT.commit(questions, wave)
+                col("q.answer"), col("q.solution")),
+              wave)
           }
 
-          // ---- fetch log (ordering trace: FIXTURES §4) ----
-          fetchlogT.commit(
-            fetched.select(col("url"), col("url_hash"), col("host"),
+          // ---- fetchlog: ordering trace + seen log + lineage source ----
+          val logRows = parsed.select(col("url"), col("url_hash"), col("host"),
               col("host_rank"), col("status"), col("depth"),
-              col("seed_subject"), col("seed_year"), lit(wave).as("wave")),
-            wave)
+              col("seed_subject"), col("seed_year"),
+              spark_partition_id().as("partition_id"))
+            .unionByName(spark.range(1).select( // per-wave summary row
+              lit("").as("url"), lit(null).cast("long").as("url_hash"),
+              lit("").as("host"), lit(0).as("host_rank"),
+              lit("summary").as("status"), lit(0).as("depth"),
+              lit("").as("seed_subject"), lit(0).as("seed_year"),
+              lit(-1).as("partition_id")))
+            .withColumn("wave", lit(wave))
+            .withColumn("candidates_in_wave", lit(nCandidates))
+            .withColumn("deduped_in_wave", lit(nSeen))
+            .withColumn("blocked_in_wave", lit(nBlocked))
+            .withColumn("deferred_in_wave", lit(nDeferred))
+          phase("fetchlog", System.nanoTime()) { fetchlogT.commit(logRows, wave) }
 
-          // ---- discovered links → next frontier candidates (S4) ----
+          // ---- bloom insert (attempted urls — Scrapy marks on request) ----
+          phase("bloom", System.nanoTime()) {
+            val hashes = fetchSlice.select("url_hash").as[Long].collect()
+            bloom.addWave(hashes)
+            bloom.save(spark, s"$storeRoot/bloom", wave)
+          }
+          if (cfg.strategy == SeenSet.BloomCuckoo)
+            SeenSet.cuckooInsert(spark, fetchSlice.select("url_hash").as[Long],
+              cuckooT, cfg.cuckooShards, cfg.cuckooPerShardCapacity, wave)
+
+          // ---- next frontier: deferred ∪ discovered links (S4) ----
           val discovered = parsed
-            .filter(col("next").isNotNull)
-            .withColumn("durl", resolveHref(col("url"), col("next")))
+            .filter(col("p.next").isNotNull)
+            .withColumn("durl", resolveHref(col("url"), col("p.next")))
             .select(
               col("durl").as("url"),
               xxhash64(col("durl")).as("url_hash"),
@@ -195,96 +246,87 @@ object CrawlEngine {
               (col("depth") + 1).as("depth"),
               col("warc_ts").as("discovery_ts"),
               col("seed_subject"), col("seed_year"))
-          // in-wave dedup: deterministic min-tuple per url
-          val newCands = discovered
-            .groupBy("url", "url_hash")
-            .agg(min(struct(col("priority"), col("depth"), col("discovery_ts"),
-              col("seed_subject"), col("seed_year"))).as("m"))
-            .select(col("url"), col("url_hash"), col("m.priority"), col("m.depth"),
-              col("m.discovery_ts"), col("m.seed_subject"), col("m.seed_year"))
-            .withColumn("host", regexp_extract(col("url"), "https?://([^/]+)/", 1))
+          val nextFrontier = waveLog.filter(col("disp") === "deferred")
             .select(frontierCols.map(col): _*)
-
-          // ---- seen insert (attempted urls — Scrapy marks on request) ----
-          val newHashes = fetchNow.select(col("url_hash"), col("url"))
-          seenT.commit(newHashes, wave)
-          bloom.addWave(newHashes.select("url_hash").as[Long].collect())
-          bloom.save(spark, s"$storeRoot/bloom", wave)
-          if (cfg.strategy == SeenSet.BloomCuckoo)
-            SeenSet.cuckooInsert(spark, newHashes.select("url_hash").as[Long],
-              cuckooT, cfg.cuckooShards, cfg.cuckooPerShardCapacity, wave)
-
-          // ---- lineage (A8): per wave × host-bucket × task partition ----
-          val hostBucket = pmod(xxhash64(col("host")), lit(8)).cast("int")
-          val perBucket = fetched
-            .withColumn("host_bucket", hostBucket)
-            .withColumn("partition_id", spark_partition_id())
-            .groupBy("host_bucket", "partition_id")
-            .agg(count(lit(1)).as("attempted"),
-              sum(when(col("status") === "ok", 1L).otherwise(0L)).as("fetched"),
-              sum(when(col("status") === "error", 1L).otherwise(0L)).as("errors"))
-          // wave-summary row (bucket -1): waves whose candidates were all
-          // dedup-dropped still record their counts
-          val summary = spark.range(1).select(
-            lit(-1).cast("int").as("host_bucket"),
-            lit(-1).cast("int").as("partition_id"),
-            lit(0L).as("attempted"), lit(0L).as("fetched"), lit(0L).as("errors"))
-          val lineage = perBucket.unionByName(summary)
-            .withColumn("wave", lit(wave))
-            .withColumn("deduped_in_wave", lit(nDeduped))
-            .withColumn("blocked_in_wave", lit(nBlocked))
-            .withColumn("candidates_in_wave", lit(nCandidates))
-          lineageT.commit(lineage, wave)
-
-          // ---- next frontier: deferred ∪ discovered (dedup within) ----
-          val nextFrontier = b.deferred.select(frontierCols.map(col): _*)
-            .unionByName(newCands)
-            .groupBy("url", "url_hash")
+            .unionByName(discovered)
+            .groupBy("url", "url_hash") // in-batch dedup: deterministic min tuple
             .agg(min(struct(col("priority"), col("depth"), col("discovery_ts"),
               col("seed_subject"), col("seed_year"))).as("m"),
               first(col("host")).as("host"))
             .select(col("url"), col("url_hash"), col("host"), col("m.priority"),
               col("m.depth"), col("m.discovery_ts"), col("m.seed_subject"),
               col("m.seed_year"))
-          val nextF = nextFrontier.select(frontierCols.map(col): _*).cache()
-          if (nextF.count() == 0)
-            frontierT.commitEmpty(wave + 1)
-          else
-            frontierT.commit(nextF, wave + 1, append = false)
-          nextF.unpersist()
+            .cache()
+          phase("frontier", System.nanoTime()) {
+            if (nextFrontier.count() == 0) frontierT.commitEmpty(wave + 1)
+            else frontierT.commit(nextFrontier.select(frontierCols.map(col): _*),
+              wave + 1, append = false)
+          }
 
-          frontier.unpersist(); freshC.unpersist(); fetchNow.unpersist()
-          fetched.unpersist(); parsed.unpersist()
+          nextFrontier.unpersist(); parsed.unpersist(); waveLog.unpersist()
+          if (timing) System.err.println(
+            f"[wave $wave] cand=$nCandidates fetch=${counts.getOrElse("fetch", 0L)} " +
+              f"sec=${(System.nanoTime() - tw0) / 1e9}%.2f")
           wave += 1
         }
       }
     }
 
-    val seen = if (seenT.isEmpty) spark.emptyDataset[Long].toDF("url") else seenT.read()
-    val (cnt, dig) = SeenSet.digest(seen)
-    val logs = if (fetchlogT.isEmpty) null else fetchlogT.read()
-    val fetchedTotal = if (logs == null) 0L
-      else logs.filter(col("status") === "ok").count()
-    val errTotal = if (logs == null) 0L
-      else logs.filter(col("status") === "error").count()
-    val dedupTotal = if (lineageT.isEmpty) 0L
-      else {
-        val r = lineageT.read().groupBy("wave")
-          .agg(first("deduped_in_wave").as("d"))
-          .agg(sum("d")).head()
-        if (r.isNullAt(0)) 0L else r.getLong(0)
-      }
+    // ---- result summary from the fetchlog ----
+    if (fetchlogT.isEmpty) return Result(wave, 0, 0, 0, 0, 0)
+    val log = fetchlogT.read().cache()
+    val attempts = log.filter(col("status") =!= "summary")
+    val fetchedTotal = attempts.filter(col("status") === "ok").count()
+    val errTotal = attempts.filter(col("status") === "error").count()
+    val dedupTotal = {
+      val r = log.groupBy("wave").agg(first("deduped_in_wave").as("d"))
+        .agg(sum("d")).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val (cnt, dig) = SeenSet.digest(attempts)
+    log.unpersist()
     Result(wave, fetchedTotal, dedupTotal, errTotal, cnt, dig)
   }
 
+  /** Per-partition lineage rows (north rule A8), derived from the
+    * wave-committed fetchlog: (wave, host_bucket, partition_id, attempted,
+    * fetched, errors) + per-wave candidate/dedup/blocked/deferred counts.
+    */
+  def lineage(spark: SparkSession, storeRoot: String): DataFrame = {
+    val log = new SnapshotTable(spark, storeRoot, "fetchlog").read()
+    log.filter(col("status") =!= "summary")
+      .withColumn("host_bucket", pmod(xxhash64(col("host")), lit(8)).cast("int"))
+      .groupBy(col("wave"), col("host_bucket"), col("partition_id"))
+      .agg(count(lit(1)).as("attempted"),
+        sum(when(col("status") === "ok", 1L).otherwise(0L)).as("fetched"),
+        sum(when(col("status") === "error", 1L).otherwise(0L)).as("errors"),
+        first("candidates_in_wave").as("candidates_in_wave"),
+        first("deduped_in_wave").as("deduped_in_wave"),
+        first("blocked_in_wave").as("blocked_in_wave"),
+        first("deferred_in_wave").as("deferred_in_wave"))
+  }
+
+  /** Per-wave summary counts (every wave, even all-deduped ones). */
+  def waveSummary(spark: SparkSession, storeRoot: String): DataFrame = {
+    val log = new SnapshotTable(spark, storeRoot, "fetchlog").read()
+    log.groupBy(col("wave")).agg(
+      first("candidates_in_wave").as("candidates"),
+      first("deduped_in_wave").as("deduped"),
+      first("blocked_in_wave").as("blocked"),
+      first("deferred_in_wave").as("deferred"),
+      sum(when(col("status") === "ok", 1L).otherwise(0L)).as("fetched"),
+      sum(when(col("status") === "error", 1L).otherwise(0L)).as("errors"))
+  }
+
   /** Deterministic global ordering trace (FIXTURES §4): one row per fetched
-    * url with its emit sequence — (wave, host, host_rank) is a total order
-    * given per-host sequential fetch. Digest is order-sensitive.
+    * url — (wave, host, host_rank) is a total order given per-host
+    * sequential fetch.
     */
   def orderingTrace(spark: SparkSession, storeRoot: String): DataFrame = {
     val logs = new SnapshotTable(spark, storeRoot, "fetchlog").read()
-    logs.select(col("wave"), col("host"), col("host_rank"), col("url"), col("status"))
-      .orderBy(col("wave"), col("host"), col("host_rank"))
+    logs.filter(col("status") =!= "summary")
+      .select(col("wave"), col("host"), col("host_rank"), col("url"), col("status"))
+      .orderBy(col("wave"), col("host"), col("host_rank"), col("url"))
   }
 
   /** Order-sensitive (rank-keyed) trace digest — bit_xor of position-salted

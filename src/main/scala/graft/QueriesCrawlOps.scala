@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Extract, QuestionParser, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Politeness, Restructure, Similarity}
+import graft.sources.PagesGen
+
+/** Rows-only queries (no SQL-expressible oracle — html parsing, sketching,
+  * LSH, multimodal): the driver records a rows>0 check; their semantic
+  * verification lives in `sbt -batch test` (golden fixtures vs the CPython
+  * oracle, engine invariants, strategy-equivalence).
+  */
+object QueriesCrawlOps {
+  import Queries.Q
+
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  val queries: Map[String, Q] = Map(
+    // one full politeness wave over the real seed frontier (dedup-free wave 0)
+    "c1_politeness_wave" -> ((s, d) => {
+      val frontier = CrawlEngine.seedFrontier(s, d)
+      val b = Politeness.budgetTopK(frontier, Politeness.robotsFixture(s).toDF(), 60000L)
+      b.fetchNow.select(col("host"), col("host_rank"), col("url"))
+    }),
+
+    // full-page parse → flattened questions (the extraction hot path)
+    "c2_parse_questions" -> ((s, d) => {
+      val parse = udf((html: Array[Byte]) => QuestionParser.parsePage(html))
+      PagesGen.pages(s, d).toDF()
+        .withColumn("p", parse(col("html")))
+        .select(col("url"), explode(col("p.questions")).as("q"))
+        .select(col("url"), col("q.section"), col("q.qtype"), col("q.number"),
+          col("q.question"), col("q.answer"), col("q.solution"),
+          size(col("q.diagrams")).as("n_diagrams"),
+          size(col("q.subparts")).as("n_subparts"))
+    }),
+
+    // the byte-identical invariant, surfaced as a query: per-page match flag
+    // aggregated — n_mismatch MUST be 0
+    "c3_text_invariant" -> ((s, d) => {
+      val extractText = udf((html: Array[Byte]) => Extract.pageText(html))
+      PagesGen.pages(s, d).toDF()
+        .select(when(extractText(col("html")) === col("text"), 0L).otherwise(1L)
+          .as("mismatch"))
+        .agg(count(lit(1)).as("n_pages"), sum(col("mismatch")).as("n_mismatch"))
+    }),
+
+    // MinHash+LSH near-dup candidate pairs, Jaccard-verified
+    "m1_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLsh(t(s, d, "documents"), threshold = 0.3)),
+
+    // SimHash near-dup pairs (bucketed hamming)
+    "m2_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 6)),
+
+    // blocked n-gram Jaccard pairs
+    "d2_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccard(t(s, d, "documents"), threshold = 0.3)),
+
+    // LSH-bucketed approximate nearest neighbors
+    "n2_ann_lsh" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.annTopK(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5), 3)
+    }),
+
+    // document fingerprints (rolling hash)
+    "t4_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprints(t(s, d, "documents"))),
+
+    // language guess incl. argmax (scores slice is oracled as t3)
+    "t5_langid_guess" -> ((s, d) =>
+      TextAnalysis.langIdFeatures(t(s, d, "documents"))
+        .groupBy(col("lang_guess")).agg(count(lit(1)).as("n_docs"))),
+
+    // multimodal decode-stub pipeline: binary payloads → features → summary
+    "mm1_multimodal_features" -> ((s, d) => Multimodal.featureSummary(s, d)),
+
+    // A1/S8: restructured per-batch docs (objectives/theory arrays)
+    "r1_restructured_docs" -> ((s, d) =>
+      Restructure.restructuredDocs(parsedQuestions(s, d))
+        .select(col("subject"), col("year"), size(col("objectives")).as("n_objectives"),
+          size(col("theory")).as("n_theory"), col("page_screenshot"))),
+
+    // F12/S9: flattened CSV rows with the reference's dynamic header order
+    "r2_flatten_csv" -> ((s, d) => Restructure.flattenCsv(parsedQuestions(s, d))),
+
+    // S10/A2: per-batch metadata docs (format_version 2.0)
+    "r3_metadata" -> ((s, d) => Restructure.metadata(parsedQuestions(s, d))),
+
+    // S12/J3/A3: image manifest with deterministic local paths
+    "r4_image_manifest" -> ((s, d) => Restructure.imageManifest(parsedQuestions(s, d))),
+
+    // J2: metadata enrichment outcome classification
+    "r5_enrich_outcomes" -> ((s, d) => {
+      val q = parsedQuestions(s, d)
+      Restructure.enrichMetadata(
+        Restructure.metadata(q).select(col("subject"), col("year")),
+        Restructure.restructuredDocs(q)
+          .select(col("subject"), col("year"), col("page_screenshot")))
+        .groupBy(col("outcome")).agg(count(lit(1)).as("n"))
+    })
+  )
+
+  /** Questions parsed straight from the synthesized pages (shared input for
+    * the restructure-family queries).
+    */
+  private def parsedQuestions(s: SparkSession, d: String): DataFrame = {
+    val parse = udf((html: Array[Byte]) => QuestionParser.parsePage(html))
+    PagesGen.pages(s, d).toDF()
+      .withColumn("p", parse(col("html")))
+      .select(col("url"),
+        regexp_extract(col("url"), "questions/([a-z-]+)-", 1).as("seed_subject"),
+        regexp_extract(col("url"), "-(\\d+)/c", 1).cast("int").as("seed_year"),
+        posexplode(col("p.questions")).as(Seq("pos", "q")))
+      .select(col("url"), col("seed_subject"), col("seed_year"), col("pos"),
+        col("q.section"), col("q.qtype"), col("q.number"), col("q.question"),
+        col("q.options"), col("q.subparts"), col("q.diagrams"),
+        col("q.answer"), col("q.solution"))
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.operators.{Dedup, Similarity}
+
+/** Text-analysis / dedup / similarity queries with DuckDB oracles. */
+object QueriesText {
+  import Queries.Q
+
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  val queries: Map[String, Q] = Map(
+    // exact dedup: canonical id + copy count per distinct text
+    "d1_exact_dedup" -> ((s, d) => Dedup.exact(t(s, d, "documents"))),
+
+    // token counting (whitespace)
+    "t1_token_count" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))),
+
+    // quality features
+    "t2_quality_features" -> ((s, d) =>
+      TextAnalysis.qualityFeatures(t(s, d, "documents"))),
+
+    // language-ID marker scores (portable slice; argmax guess is rows-only)
+    "t3_langid_scores" -> ((s, d) =>
+      TextAnalysis.langIdFeatures(t(s, d, "documents"))
+        .select(col("doc_id"), col("score_en"), col("score_de"),
+          col("score_fr"), col("score_es"))),
+
+    // brute-force cosine top-3 neighbors for probe vectors
+    "n1_knn_bruteforce" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5), 3)
+    }),
+
+    // embedding cosine near-dup pairs within label blocks
+    "m3_embedding_neardup" -> ((s, d) =>
+      Similarity.cosineNearDup(t(s, d, "embeddings"), 0.90))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+        |FROM documents GROUP BY text""".stripMargin,
+    "t1_token_count" ->
+      "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents",
+    "t2_quality_features" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars_text,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+        |  round(len(list_distinct(string_split(text, ' '))) * 1.0
+        |        / len(string_split(text, ' ')), 4) AS distinct_ratio,
+        |  round(length(text) * 1.0 / len(string_split(text, ' ')), 4) AS mean_token_len,
+        |  (length(text) - length(replace(text, ' the ', ''))) // 5
+        |  + (length(text) - length(replace(text, ' a ', ''))) // 3
+        |  + (length(text) - length(replace(text, ' of ', ''))) // 4
+        |  + (length(text) - length(replace(text, ' and ', ''))) // 5
+        |  + (length(text) - length(replace(text, ' to ', ''))) // 4 AS stopword_hits
+        |FROM documents""".stripMargin,
+    "t3_langid_scores" ->
+      """SELECT doc_id,
+        |  (length(text) - length(replace(text, ' the ', ''))) // 5
+        |    + (length(text) - length(replace(text, ' and ', ''))) // 5 AS score_en,
+        |  (length(text) - length(replace(text, ' der ', ''))) // 5
+        |    + (length(text) - length(replace(text, ' und ', ''))) // 5 AS score_de,
+        |  (length(text) - length(replace(text, ' le ', ''))) // 4
+        |    + (length(text) - length(replace(text, ' et ', ''))) // 4 AS score_fr,
+        |  (length(text) - length(replace(text, ' el ', ''))) // 4
+        |    + (length(text) - length(replace(text, ' y ', ''))) // 3 AS score_es
+        |FROM documents""".stripMargin,
+    "n1_knn_bruteforce" ->
+      """SELECT query_id, rnk, neighbor_id, cos FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                 CAST(c.embedding AS DOUBLE[])), 4) AS cos,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                     CAST(c.embedding AS DOUBLE[])), 4) DESC,
+        |               c.vec_id) AS rnk
+        |  FROM (SELECT * FROM embeddings WHERE vec_id < 5) q,
+        |       (SELECT * FROM embeddings WHERE vec_id >= 5) c)
+        |WHERE rnk <= 3""".stripMargin,
+    "m3_embedding_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 4) AS cos
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                   CAST(b.embedding AS DOUBLE[])), 4) >= 0.90"""
+        .stripMargin
+  )
+}

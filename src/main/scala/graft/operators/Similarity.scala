@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (builder brief): brute-force cosine top-k as
+  * the exact baseline, random-hyperplane LSH bucketing as the scale path.
+  * Dot products via `aggregate(zip_with(...))` — Catalyst built-ins, codegen,
+  * no UDF.
+  *
+  * Scale shape: brute force is queries × corpus — right only when queries is
+  * a small broadcast side (it is: per-batch probe sets). The LSH variant
+  * shuffles corpus once on an 8-bit bucket key and confines the quadratic
+  * term to within-bucket; recall is tunable by nTables (union of bucketings).
+  */
+object Similarity {
+
+  /** cosine(a, b) for two float-array columns, computed in double. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val na = aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val nb = aggregate(transform(b, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** Exact top-k neighbors per query via broadcast cross join + window. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (table, plane, dim)
+    * — splitmix-style, no RNG state, identical on every executor.
+    */
+  private def hpComponent(table: Int, plane: Int, dim: Column): Column = {
+    val seed = xxhash64(lit(table), lit(plane), dim)
+    (pmod(seed, lit(100000L)).cast("double") / 50000.0) - 1.0
+  }
+
+  /** LSH bucket id: `nPlanes` sign bits of hyperplane dot products. */
+  def lshBucket(vec: Column, table: Int, nPlanes: Int, dims: Int): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val dot = aggregate(
+        zip_with(vec, sequence(lit(0), lit(dims - 1)),
+          (x, i) => x.cast("double") * hpComponent(table, p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k: queries and corpus bucketed per LSH table; exact
+    * cosine within buckets, best-of across tables.
+    */
+  def annTopK(queries: DataFrame, corpus: DataFrame, k: Int, nTables: Int = 4,
+              nPlanes: Int = 8, dims: Int = 64,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val tables = (0 until nTables).map { tbl =>
+      val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        lshBucket(col(vecCol), tbl, nPlanes, dims).as("bucket"))
+      val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        lshBucket(col(vecCol), tbl, nPlanes, dims).as("bucket"))
+      c.join(broadcast(q), Seq("bucket"))
+        .withColumn("cos", round(cosine(col("qv"), col("cv")), 4))
+        .select(col("query_id"), col("neighbor_id"), col("cos"))
+    }
+    val all = tables.reduce(_ unionByName _).distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    all.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs, blocked by a label/cluster column
+    * (or LSH bucket at scale): pairs with cosine >= threshold.
+    */
+  def cosineNearDup(vecs: DataFrame, threshold: Double, blockCol: String = "label",
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val l = vecs.select(col(blockCol).as("block"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val r = vecs.select(col(blockCol).as("block"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    l.join(r, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}

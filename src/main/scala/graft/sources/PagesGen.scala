@@ -255,20 +255,36 @@ object PagesGen {
       html.getBytes(java.nio.charset.StandardCharsets.UTF_8), golden, lang)
   }
 
-  /** The pages Dataset for a scale dir — one page per document row. */
-  def pages(spark: SparkSession, sfDir: String): Dataset[PageRow] = {
+  /** Replica stride: virtual doc ids `replica * Stride + doc_id` keep chains
+    * disjoint across replicas (documents is a fixed 500-row corpus at every
+    * sf; bench-scale frontiers amplify it deterministically).
+    */
+  val Stride = 1000000L
+
+  /** The pages Dataset for a scale dir — `factor` pages per document row. */
+  def pages(spark: SparkSession, sfDir: String, factor: Int = 1): Dataset[PageRow] = {
     import spark.implicits._
+    val f = factor
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text", "lang").as[(Long, String, String)]
-      .map { case (id, t, l) => renderRow(id, t, l) }
+      .repartition(spark.sparkContext.defaultParallelism)
+      .flatMap { case (id, t, l) =>
+        (0 until f).iterator.map(r => renderRow(r * Stride + id, t, l))
+      }
   }
 
   /** Seed list: page 0 of every chain (S1, run_spider.py:137-143). */
-  def seeds(spark: SparkSession, sfDir: String): Dataset[Seed] = {
+  def seeds(spark: SparkSession, sfDir: String, factor: Int = 1): Dataset[Seed] = {
     import spark.implicits._
+    val f = factor
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id").as[Long]
       .filter(id => pageIdxOf(id) == 0)
-      .map(id => Seed(subjectOf(id), yearOf(id), urlOf(id)))
+      .flatMap { id =>
+        (0 until f).iterator.map { r =>
+          val vid = r * Stride + id
+          Seed(subjectOf(vid), yearOf(vid), urlOf(vid))
+        }
+      }
   }
 }

@@ -21,6 +21,8 @@ object CrawlRun {
       case _ => SeenSet.BloomExact
     }
     val cpus = if (args.length > 3) args(3) else sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val amplify = if (args.length > 4) args(4).toInt else 1
+    val waveMs = if (args.length > 5) args(5).toLong else 60000L
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -33,7 +35,8 @@ object CrawlRun {
     spark.sparkContext.setLogLevel("WARN")
 
     val t0 = System.nanoTime()
-    val r = CrawlEngine.run(spark, sfDir, store)
+    val r = CrawlEngine.run(spark, sfDir, store,
+      CrawlEngine.Config(strategy = strategy, amplify = amplify, waveDurationMs = waveMs))
     val sec = (System.nanoTime() - t0) / 1e9
     val rate = (r.fetched + r.deduped) / sec
     println(f"""{"waves":${r.waves},"fetched":${r.fetched},"deduped":${r.deduped},"errors":${r.errors},"seen_count":${r.seenCount},"seen_digest":${r.seenDigest},"trace_digest":${CrawlEngine.traceDigest(spark, store)},"sec":$sec%.2f,"urls_per_sec":$rate%.1f,"store":"$store"}""")

@@ -80,21 +80,20 @@ class CrawlEngineSpec extends AnyFunSuite {
     }
   }
 
-  test("lineage reconciles: candidates = deduped + blocked + attempted + deferred") {
-    val lineage = new graft.plans.SnapshotTable(spark, store, "lineage").read()
-    val perWave = lineage.groupBy("wave").agg(
-      first("candidates_in_wave").as("cand"),
-      first("deduped_in_wave").as("dd"),
-      first("blocked_in_wave").as("bl"),
-      sum("attempted").as("att"),
-      sum("fetched").as("f"),
-      sum("errors").as("e")).collect()
+  test("lineage reconciles exactly: candidates = deduped + blocked + deferred + fetched + errors") {
+    result // force the crawl
+    val perWave = CrawlEngine.waveSummary(spark, store).collect()
+    assert(perWave.nonEmpty)
     perWave.foreach { r =>
-      val cand = r.getAs[Long]("cand")
-      val used = r.getAs[Long]("dd") + r.getAs[Long]("bl") + r.getAs[Long]("att")
-      assert(used <= cand, s"wave ${r.getAs[Int]("wave")}: $used > $cand")
-      assert(r.getAs[Long]("att") == r.getAs[Long]("f") + r.getAs[Long]("e"))
+      val cand = r.getAs[Long]("candidates")
+      val used = r.getAs[Long]("deduped") + r.getAs[Long]("blocked") +
+        r.getAs[Long]("deferred") + r.getAs[Long]("fetched") + r.getAs[Long]("errors")
+      assert(used == cand, s"wave ${r.getAs[Int]("wave")}: $used != $cand")
     }
+    // per-partition lineage rows exist and sum to the fetch totals
+    val lin = CrawlEngine.lineage(spark, store)
+    val t = lin.agg(sum("fetched"), sum("errors")).head()
+    assert(t.getLong(0) == result.fetched && t.getLong(1) == result.errors)
   }
 
   test("partition-count invariance: same digests under different shuffle parallelism") {
