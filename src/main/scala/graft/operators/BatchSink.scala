@@ -1,0 +1,130 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Json
+
+/** Reference-format file sinks (SURVEY §2.1 S5-S11): per-(subject, year)
+  * batch directory with `{s}_{y}.json` (indent 2, unicode kept),
+  * `{s}_{y}.csv` (dynamic rank-ordered header), `{s}_{y}_metadata.json`,
+  * and `reports/{s}_{y}_image_download_report.txt` — the exact artifact
+  * tree of `/root/reference/core/restructure_questions.py:93-173` and
+  * `core/generate_reports.py:94-101`.
+  *
+  * Batch files are small by construction (one exam batch each), so the
+  * writers collect per-batch rows to the driver exactly like the reference's
+  * single-process writers; the heavy lifting (grouping, flattening, stats)
+  * stays distributed in Restructure.
+  */
+object BatchSink {
+
+  private def jsonValue(v: Any, indent: Int): String = v match {
+    case null => "null"
+    case s: String => Json.str(s)
+    case r: Row => jsonRow(r, indent)
+    case seq: scala.collection.Seq[_] =>
+      if (seq.isEmpty) "[]"
+      else {
+        val pad = "  " * (indent + 1)
+        seq.map(x => pad + jsonValue(x, indent + 1))
+          .mkString("[\n", ",\n", "\n" + ("  " * indent) + "]")
+      }
+    case m: scala.collection.Map[_, _] =>
+      if (m.isEmpty) "{}"
+      else {
+        val pad = "  " * (indent + 1)
+        m.map { case (k, x) => pad + Json.str(k.toString) + ": " + jsonValue(x, indent + 1) }
+          .mkString("{\n", ",\n", "\n" + ("  " * indent) + "}")
+      }
+    case b: Boolean => b.toString
+    case n => n.toString
+  }
+
+  private def jsonRow(r: Row, indent: Int): String = {
+    val pad = "  " * (indent + 1)
+    val fields = r.schema.fieldNames.zipWithIndex
+      .filter { case (_, i) => !r.isNullAt(i) } // reference omits absent keys
+      .map { case (n, i) => pad + Json.str(n) + ": " + jsonValue(r.get(i), indent + 1) }
+    if (fields.isEmpty) "{}" else fields.mkString("{\n", ",\n", "\n" + ("  " * indent) + "}")
+  }
+
+  private def csvQuote(s: String): String =
+    if (s == null) ""
+    else if (s.contains(",") || s.contains("\"") || s.contains("\n"))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
+
+  /** Write the full reference artifact tree for every batch under `outDir`.
+    * Returns the batch directories written.
+    */
+  def writeBatchOutputs(spark: SparkSession, questions: DataFrame,
+                        outDir: String): Seq[String] = {
+    val docs = Restructure.restructuredDocs(questions)
+      .collect().map(r => (r.getAs[String]("subject"), r.getAs[Int]("year")) -> r).toMap
+    val metas = Restructure.metadata(questions)
+      .collect().map(r => (r.getAs[String]("subject"), r.getAs[Int]("year")) -> r).toMap
+    val reports = Restructure.reports(spark, questions)
+      .collect().map(r => (r.getAs[String]("subject"), r.getAs[Int]("year")) -> r).toMap
+    val flat = Restructure.flattenCsv(questions)
+    val flatCols = flat.columns.drop(4) // subject, year, url, pos are keys
+    val flatRows = flat.collect().groupBy(r => (r.getAs[String]("subject"), r.getAs[Int]("year")))
+
+    docs.keys.toSeq.sortBy(identity).map { case (subject, year) =>
+      val dir = Paths.get(outDir, s"${subject}_$year")
+      Files.createDirectories(dir.resolve("reports"))
+      val doc = docs((subject, year))
+
+      // S8: restructured JSON — {objectives: [...], theory: [...], page_screenshot}
+      val structured = new StringBuilder("{\n")
+      structured ++= "  " + Json.str("objectives") + ": " +
+        jsonValue(doc.getAs[Any]("objectives"), 1) + ",\n"
+      structured ++= "  " + Json.str("theory") + ": " +
+        jsonValue(doc.getAs[Any]("theory"), 1) + ",\n"
+      structured ++= "  " + Json.str("page_screenshot") + ": " +
+        Json.str(doc.getAs[String]("page_screenshot")) + "\n}"
+      Files.write(dir.resolve(s"${subject}_$year.json"),
+        structured.result().getBytes(StandardCharsets.UTF_8))
+
+      // S9: flattened CSV with the reference's header order
+      val rows = flatRows.getOrElse((subject, year), Array.empty)
+      val csv = new StringBuilder(flatCols.map(csvQuote).mkString(",") + "\r\n")
+      rows.foreach { r =>
+        csv ++= flatCols.map { c =>
+          val v = r.getAs[Any](c)
+          if (v == null) "" else csvQuote(v.toString)
+        }.mkString(",") + "\r\n"
+      }
+      Files.write(dir.resolve(s"${subject}_$year.csv"),
+        csv.result().getBytes(StandardCharsets.UTF_8))
+
+      // S10: metadata JSON
+      Files.write(dir.resolve(s"${subject}_${year}_metadata.json"),
+        jsonRow(metas((subject, year)), 0).getBytes(StandardCharsets.UTF_8))
+
+      // S11: report text
+      Files.write(dir.resolve("reports").resolve(s"${subject}_${year}_image_download_report.txt"),
+        reports((subject, year)).getAs[String]("report").getBytes(StandardCharsets.UTF_8))
+
+      dir.toString
+    }
+  }
+
+  /** S7: scan the batch output tree back (directory-name parse, X10) —
+    * `update_all_metadata.py:20-42` / `generate_reports.py:6-16`.
+    */
+  def scanBatches(spark: SparkSession, outDir: String): DataFrame = {
+    import spark.implicits._
+    val dirs = Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getName).toSeq
+    dirs.toDF("dirname")
+      .filter(col("dirname").rlike("^.*_\\d+$"))
+      .select(
+        regexp_extract(col("dirname"), "^(.*)_(\\d+)$", 1).as("subject"),
+        regexp_extract(col("dirname"), "^(.*)_(\\d+)$", 2).cast("int").as("year"))
+      .orderBy("subject", "year")
+  }
+}

@@ -32,8 +32,12 @@ object Restructure {
     val q = questions
       .withColumn("qt", qtypeCol)
       .withColumn("ord", struct(col("url"), col("pos")))
-    val cleaned = struct(col("number"), col("question"), col("options"),
-      col("subparts"), col("diagrams"), col("answer"), col("solution"))
+    // reference dicts: mcq rows have no subparts key, theory rows no options
+    // key (core/main.py:190-203,449-456) — null here so JSON sinks omit them
+    val cleaned = struct(col("number"), col("question"),
+      when(col("qt") === "objectives", col("options")).otherwise(lit(null)).as("options"),
+      when(col("qt") === "theory", col("subparts")).otherwise(lit(null)).as("subparts"),
+      col("diagrams"), col("answer"), col("solution"))
     q.groupBy(col("seed_subject").as("subject"), col("seed_year").as("year"))
       .agg(
         sort_array(collect_list(when(col("qt") === "objectives",

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.BatchSink
+import graft.util.Retry
+
+/** Reference-format artifact tree (S5-S11) + retry policies (X18). */
+class BatchSinkSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+
+  private lazy val questions = {
+    import graft.functions.QuestionParser
+    val parse = udf((html: Array[Byte]) => QuestionParser.parsePage(html))
+    graft.sources.PagesGen.pages(spark, "/root/testdata/sf0.001").toDF()
+      .withColumn("p", parse(col("html")))
+      .select(col("url"),
+        regexp_extract(col("url"), "questions/([a-z-]+)-", 1).as("seed_subject"),
+        regexp_extract(col("url"), "-(\\d+)/c", 1).cast("int").as("seed_year"),
+        posexplode(col("p.questions")).as(Seq("pos", "q")))
+      .select(col("url"), col("seed_subject"), col("seed_year"), col("pos"),
+        col("q.section"), col("q.qtype"), col("q.number"), col("q.question"),
+        col("q.options"), col("q.subparts"), col("q.diagrams"),
+        col("q.answer"), col("q.solution"))
+      .filter(col("seed_year") === 2015) // one year slice keeps the test fast
+  }
+
+  test("writes the reference artifact tree per batch") {
+    val out = Files.createTempDirectory("graft-batch-out").toString
+    val dirs = BatchSink.writeBatchOutputs(spark, questions, out)
+    assert(dirs.nonEmpty)
+    dirs.foreach { d =>
+      val name = Paths.get(d).getFileName.toString
+      assert(Files.exists(Paths.get(d, s"$name.json")))
+      assert(Files.exists(Paths.get(d, s"$name.csv")))
+      assert(Files.exists(Paths.get(d, s"${name}_metadata.json")))
+      assert(Files.exists(Paths.get(d, "reports", s"${name}_image_download_report.txt")))
+    }
+    // JSON is loadable and has the reference root keys
+    val j = new String(Files.readAllBytes(
+      Paths.get(dirs.head, Paths.get(dirs.head).getFileName.toString + ".json")),
+      StandardCharsets.UTF_8)
+    assert(j.startsWith("{\n  \"objectives\": ["))
+    assert(j.contains("\"theory\": ["))
+    assert(j.contains("\"page_screenshot\": \"https://ik.imagekit.io/"))
+    // CSV header leads with the common rank-0 fields (python-sorted)
+    val csv = new String(Files.readAllBytes(
+      Paths.get(dirs.head, Paths.get(dirs.head).getFileName.toString + ".csv")),
+      StandardCharsets.UTF_8)
+    assert(csv.startsWith("answer,diagrams,number,question,solution,type"))
+    // metadata json has format_version 2.0
+    val m = new String(Files.readAllBytes(Paths.get(dirs.head,
+      Paths.get(dirs.head).getFileName.toString + "_metadata.json")),
+      StandardCharsets.UTF_8)
+    assert(m.contains("\"format_version\": \"2.0\""))
+
+    // S7/S15/X10: scanning the tree back recovers (subject, year)
+    val scanned = BatchSink.scanBatches(spark, out).collect()
+    assert(scanned.length == dirs.length)
+    assert(scanned.forall(_.getAs[Int]("year") == 2015))
+  }
+
+  test("retry with exponential backoff doubles delays and stops at success") {
+    val delays = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var calls = 0
+    val r = Retry.withBackoff(maxAttempts = 4, delayMs = 100, sleeper = delays += _) {
+      calls += 1
+      if (calls < 3) sys.error("flaky")
+      "ok"
+    }
+    assert(r.value.contains("ok") && r.attempts == 3)
+    assert(delays.toSeq == Seq(100L, 200L))
+  }
+
+  test("retry exhaustion returns the last error") {
+    val r = Retry.withFixedDelay(maxAttempts = 3, delayMs = 5, sleeper = _ => ()) {
+      sys.error("always down"): String
+    }
+    assert(r.value.isEmpty && r.attempts == 3)
+    assert(r.lastError.exists(_.getMessage == "always down"))
+  }
+}

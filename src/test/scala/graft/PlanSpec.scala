@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan quality gates (builder brief: "explain the plan and iterate
+  * until it's the plan you'd want"). These lock in the plan shapes that
+  * matter at 100 TB: scan-level filter pushdown + column pruning, broadcast
+  * joins for dims, TakeOrdered for sort+limit, partial aggregation, and
+  * whole-stage codegen on the hot relational paths.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+  private val sf = "/root/testdata/sf0.01"
+
+  private def planOf(df: DataFrame): String = {
+    df.collect() // finalize AQE
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filters and projection reach the parquet scan (pushdown + pruning)") {
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("n_chars") > 300)
+      .select(col("doc_id"))
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,300)]"),
+      s"filter not pushed:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"),
+      s"columns not pruned:\n$plan")
+  }
+
+  test("dimension joins broadcast (q2) — no shuffle of the fact side") {
+    val plan = planOf(Queries.all("q2_dim_join")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"dim join degraded to SMJ:\n$plan")
+  }
+
+  test("sort+limit compiles to TakeOrderedAndProject (q3) — no global sort") {
+    val df = spark.read.parquet(s"$sf/orders.parquet")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val plan = planOf(df)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("aggregation is partial+final (q1) inside whole-stage codegen") {
+    val plan = planOf(Queries.all("q1_lineitem_agg")(spark, sf))
+    assert(plan.contains("partial_sum"), s"no partial (map-side) agg:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial+final agg:\n$plan")
+    // whole-stage codegen renders as "*(n)" in the compact plan string
+    assert(plan.contains("*(1)"), s"no codegen span:\n$plan")
+  }
+
+  test("seen-set dedup is an anti join (j4), not a full materialized except") {
+    val plan = planOf(Queries.all("j4_seen_antijoin")(spark, sf))
+    assert(plan.contains("LeftAnti"), plan)
+  }
+
+  test("the crawl fetch join broadcasts the wave side, pages never shuffle") {
+    import graft.sources.PagesGen
+    val store = java.nio.file.Files.createTempDirectory("graft-plan").toString
+    PagesGen.pages(spark, "/root/testdata/sf0.001").toDF()
+      .write.mode("overwrite").parquet(s"$store/pages")
+    val pages = spark.read.parquet(s"$store/pages")
+    val wave = CrawlEngine.seedFrontier(spark, "/root/testdata/sf0.001")
+    val joined = broadcast(wave).join(pages, Seq("url"), "left")
+    val plan = planOf(joined.select(col("url"), col("warc_ts")))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning(url"), s"pages shuffled:\n$plan")
+  }
+}
