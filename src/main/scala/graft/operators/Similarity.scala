@@ -16,8 +16,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** cosine(a, b) for two float-array columns, computed in double. */
-  def cosine(a: Column, b: Column): Column = {
+  /** cosine(a, b) for two float-array columns, computed in double — the
+    * native codegen expression (graft.functions.CosineSimilarity): one fused
+    * loop, whole-stage-codegen eligible. Summation order matches the
+    * sequential-fold reference formulation, so results are bit-identical to
+    * the DuckDB oracle path.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity.cosineSim(a, b)
+
+  /** Interpreted built-ins formulation (aggregate ∘ zip_with) — kept as the
+    * semantic cross-check for CosineSimilaritySpec; measurably slower
+    * (per-element interpreted lambda steps).
+    */
+  def cosineHof(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
     val na = aggregate(transform(a, x => x.cast("double") * x.cast("double")),
