@@ -125,6 +125,21 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(CrawlEngine.traceDigest(spark, sC) == CrawlEngine.traceDigest(spark, store))
   }
 
+  test("URL-seen set equals the reference-model set exactly (north rule)") {
+    import spark.implicits._
+    result // force the shared crawl
+    // expected: every url of every page on a robots-allowed host — computed
+    // in plain Scala from the generator model, no Spark involved
+    val expected = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").as[Long].collect()
+      .filter(id => PagesGen.hostIdOf(id) != 13)
+      .map(PagesGen.urlOf).toSet
+    val crawled = CrawlEngine.orderingTrace(spark, store)
+      .select("url").as[String].collect().toSet
+    assert(crawled == expected,
+      s"missing=${(expected -- crawled).take(3)} extra=${(crawled -- expected).take(3)}")
+  }
+
   test("questions were extracted during the crawl") {
     val q = new graft.plans.SnapshotTable(spark, store, "questions").read()
     assert(q.count() > 0)
