@@ -19,11 +19,11 @@ object SparkEntry {
     val parse = udf((html: Array[Byte]) => QuestionParser.parsePage(html))
     pages
       .withColumn("parsed", parse($"html"))
-      .select($"url", explode($"parsed.questions").as("q"))
-      .select($"url", $"q.section", $"q.qtype", $"q.number", $"q.question",
+      .select($"url", posexplode($"parsed.questions").as(Seq("pos", "q")))
+      .select($"url", $"pos", $"q.section", $"q.qtype", $"q.number", $"q.question",
         $"q.options", $"q.subparts", $"q.diagrams", $"q.answer", $"q.solution")
       .withColumn("section_rank", when($"section" === "objective", 0).otherwise(1))
-      .orderBy($"url", $"section_rank", $"number")
+      .orderBy($"url", $"section_rank", $"number", $"pos") // pos: total order
       .drop("section_rank")
   }
 
