@@ -86,6 +86,32 @@ object CrawlEngine {
 
   private val parsePageUdf = udf((html: Array[Byte]) => QuestionParser.parsePage(html))
 
+  /** J5 fetch join, broadcast-legal shape: INNER join with the wave as the
+    * broadcast build side. Build-left on a LEFT OUTER join is unsupported —
+    * Spark silently drops the hint (`HintErrorLogger`) and shuffles pages,
+    * which at 10^10 urls is a full exchange of the big table every wave.
+    * Wave rows with no page are recovered separately by [[errorRows]].
+    * Big waves take the shuffle join instead: pushing 10^5+ rows through a
+    * driver broadcast is the wrong plan at any scale.
+    */
+  private[graft] def joinWavePages(fetchSlice: DataFrame, pages: DataFrame,
+                                   useBroadcast: Boolean): DataFrame = {
+    val p = pages.select(col("url"), col("warc_ts"), col("html"))
+    if (useBroadcast) p.join(broadcast(fetchSlice), Seq("url"), "inner")
+    else fetchSlice.join(p, Seq("url"), "inner")
+  }
+
+  /** Wave rows whose url had no page (status='error'): left-anti of the wave
+    * against the fetched urls. The anti side is ≤ the wave (broadcast-sized,
+    * and broadcasting the RIGHT side of a left-anti IS legal), so pages still
+    * never shuffle on the error-recovery path either.
+    */
+  private[graft] def errorRows(fetchSlice: DataFrame, okUrls: DataFrame,
+                               useBroadcast: Boolean): DataFrame = {
+    val side = if (useBroadcast) broadcast(okUrls) else okUrls
+    fetchSlice.join(side, Seq("url"), "left_anti")
+  }
+
   def run(spark: SparkSession, sfDir: String, storeRoot: String,
           cfg: Config = Config()): Result = {
     import spark.implicits._
@@ -108,20 +134,25 @@ object CrawlEngine {
 
     val robots = Politeness.robotsFixture(spark).toDF()
 
-    // resume: the latest committed frontier IS the next wave to process
-    // (wave replay after a mid-wave crash is idempotent: data dirs are
-    // overwritten, manifests dedup directory entries, bloom re-adds are
-    // no-ops) — or bootstrap from seeds.
+    // resume: the latest committed frontier IS the next wave to process.
+    // Mid-wave crash replay is idempotent because every read of engine state
+    // during wave N sees only commits of waves < N — the crashed attempt's
+    // fetchlog/bloom/cuckoo commits (which land BEFORE the frontier advance)
+    // are excluded, so the replay re-fetches the wave identically instead of
+    // flagging its own candidates as 'seen' and silently dropping the wave's
+    // questions and links.
     val startWave = frontierT.meta.get("wave").map(_.toInt).getOrElse {
       frontierT.commit(seedFrontier(spark, sfDir, cfg.amplify), 0, append = false)
       0
     }
-    val bloom = SeenSet.Bloom.load(spark, s"$storeRoot/bloom")
+    val bloom = SeenSet.Bloom.load(spark, s"$storeRoot/bloom", startWave)
       .map(_._2).getOrElse(new SeenSet.Bloom(cfg.bloomExpected, cfg.bloomFpp))
 
-    def seenLog: DataFrame =
+    def seenLog(currentWave: Int): DataFrame =
       if (fetchlogT.isEmpty) spark.emptyDataset[Long].toDF("url_hash")
-      else fetchlogT.read().filter(col("status") =!= "summary").select("url_hash")
+      else fetchlogT.read()
+        .filter(col("status") =!= "summary" && col("wave") < currentWave)
+        .select("url_hash")
 
     val timing = sys.env.get("GRAFT_WAVE_TIMING").contains("1")
     var wave = startWave
@@ -132,9 +163,10 @@ object CrawlEngine {
       else {
         val cands = frontierT.read().select(frontierCols.map(col): _*)
 
-        // ---- dedup flag (J4/U3): is_seen per candidate ----
+        // ---- dedup flag (J4/U3): is_seen per candidate. All tiers read seen
+        // state as of waves < wave (replay idempotency, see resume note) ----
         def seenFlagExact(df: DataFrame): DataFrame =
-          df.join(seenLog.withColumn("is_seen", lit(true)), Seq("url_hash"), "left")
+          df.join(seenLog(wave).withColumn("is_seen", lit(true)), Seq("url_hash"), "left")
             .withColumn("is_seen", coalesce(col("is_seen"), lit(false)))
         val flagged: DataFrame = cfg.strategy match {
           case SeenSet.ExactAnti => seenFlagExact(cands)
@@ -145,7 +177,8 @@ object CrawlEngine {
           case SeenSet.BloomCuckoo =>
             val (defNew, suspects) = SeenSet.bloomSplit(spark, cands, bloom)
             defNew.withColumn("is_seen", lit(false))
-              .unionByName(SeenSet.cuckooFlagged(spark, suspects, cuckooT, cfg.cuckooShards))
+              .unionByName(SeenSet.cuckooFlagged(spark, suspects, cuckooT,
+                cfg.cuckooShards, asOfWaveExclusive = wave))
         }
 
         // ---- politeness (J6, O6, P1-P3): rank open rows, tag dispositions ----
@@ -169,33 +202,27 @@ object CrawlEngine {
           val nBlocked = counts.getOrElse("blocked", 0L)
           val nDeferred = counts.getOrElse("deferred", 0L)
 
-          // ---- fetch (J5): join the wave against the pages table. Small
-          // waves broadcast (pages never shuffle); big waves go through the
-          // shuffle join — pushing 10^5+ rows through a driver broadcast is
-          // the wrong plan at any scale. Threshold ~= autoBroadcast-sized.
+          // ---- fetch (J5): wave ⋈ pages in the broadcast-legal inner shape
+          // (joinWavePages) — pages NEVER shuffle on the broadcast path.
           val fetchSlice = waveLog.filter(col("disp") === "fetch")
             .select((frontierCols :+ "host_rank").map(col): _*)
           val nFetch = counts.getOrElse("fetch", 0L)
           val useBroadcast = nFetch <= cfg.broadcastWaveLimit
-          val waveSide = if (useBroadcast) broadcast(fetchSlice) else fetchSlice
-          val joined0 = waveSide
-            .join(pages.select(col("url"), col("warc_ts"), col("html")), Seq("url"), "left")
+          val joined0 = joinWavePages(fetchSlice, pages, useBroadcast)
           // broadcast-join output inherits the pages scan's (few, large-file)
           // partitions — repartition to spread the parse; the shuffle join is
           // already evenly distributed, a second shuffle of html rows would
           // just double the heaviest exchange
           val joined = if (useBroadcast)
             joined0.repartition(spark.sparkContext.defaultParallelism) else joined0
-          val parsed = joined
-            .withColumn("status",
-              when(col("html").isNotNull, lit("ok")).otherwise(lit("error")))
-            .withColumn("p",
-              when(col("html").isNotNull, parsePageUdf(col("html"))).otherwise(lit(null)))
+          val okParsed = joined
+            .withColumn("status", lit("ok"))
+            .withColumn("p", parsePageUdf(col("html")))
             .drop("html")
             .cache()
 
           if (cfg.parseQuestions) phase("parse+questions", System.nanoTime()) {
-            questionsT.commit(parsed
+            questionsT.commit(okParsed
               .select(col("url"), col("seed_subject"), col("seed_year"),
                 posexplode_outer(col("p.questions")).as(Seq("pos", "q")))
               .filter(col("q").isNotNull)
@@ -206,11 +233,18 @@ object CrawlEngine {
               wave)
           }
 
+          // status='error' recovery: wave rows with no page (P6) — reads the
+          // ok urls from the cached parse, so pages are scanned exactly once
+          val errRows = errorRows(fetchSlice, okParsed.select(col("url")), useBroadcast)
+            .withColumn("status", lit("error"))
+
           // ---- fetchlog: ordering trace + seen log + lineage source ----
-          val logRows = parsed.select(col("url"), col("url_hash"), col("host"),
-              col("host_rank"), col("status"), col("depth"),
-              col("seed_subject"), col("seed_year"),
-              spark_partition_id().as("partition_id"))
+          val attemptCols = Seq(col("url"), col("url_hash"), col("host"),
+            col("host_rank"), col("status"), col("depth"),
+            col("seed_subject"), col("seed_year"),
+            spark_partition_id().as("partition_id"))
+          val logRows = okParsed.select(attemptCols: _*)
+            .unionByName(errRows.select(attemptCols: _*))
             .unionByName(spark.range(1).select( // per-wave summary row
               lit("").as("url"), lit(null).cast("long").as("url_hash"),
               lit("").as("host"), lit(0).as("host_rank"),
@@ -225,9 +259,15 @@ object CrawlEngine {
           phase("fetchlog", System.nanoTime()) { fetchlogT.commit(logRows, wave) }
 
           // ---- bloom insert (attempted urls — Scrapy marks on request) ----
+          // distributed build: executors fold per-partition filters, the agg
+          // merges them; the driver receives only the fixed-size sketch blob,
+          // never row data (round-1 collected every wave's url_hashes)
           phase("bloom", System.nanoTime()) {
-            val hashes = fetchSlice.select("url_hash").as[Long].collect()
-            bloom.addWave(hashes)
+            if (nFetch > 0) { // stat.bloomFilter returns null on empty input
+              val waveFilter = fetchSlice.stat.bloomFilter("url_hash",
+                cfg.bloomExpected, cfg.bloomFpp)
+              bloom.merge(waveFilter)
+            }
             bloom.save(spark, s"$storeRoot/bloom", wave)
           }
           if (cfg.strategy == SeenSet.BloomCuckoo)
@@ -235,7 +275,7 @@ object CrawlEngine {
               cuckooT, cfg.cuckooShards, cfg.cuckooPerShardCapacity, wave)
 
           // ---- next frontier: deferred ∪ discovered links (S4) ----
-          val discovered = parsed
+          val discovered = okParsed
             .filter(col("p.next").isNotNull)
             .withColumn("durl", resolveHref(col("url"), col("p.next")))
             .select(
@@ -263,7 +303,7 @@ object CrawlEngine {
               wave + 1, append = false)
           }
 
-          nextFrontier.unpersist(); parsed.unpersist(); waveLog.unpersist()
+          nextFrontier.unpersist(); okParsed.unpersist(); waveLog.unpersist()
           if (timing) System.err.println(
             f"[wave $wave] cand=$nCandidates fetch=${counts.getOrElse("fetch", 0L)} " +
               f"sec=${(System.nanoTime() - tw0) / 1e9}%.2f")

@@ -32,21 +32,22 @@ object Queries {
       .selectExpr(
         "doc_id",
         "doc_id div 4 AS chain",
-        "cast(doc_id % 4 AS int) AS page_idx")
+        "cast(doc_id % 4 AS int) AS page_idx",
+        "n_chars")
       .selectExpr(
-        "doc_id", "chain", "page_idx",
+        "doc_id", "chain", "page_idx", "n_chars",
         "CASE cast(chain % 4 AS int) WHEN 0 THEN 'science' WHEN 1 THEN 'mathematics' " +
           "WHEN 2 THEN 'english' ELSE 'social-studies' END AS subject",
         "cast(2015 + chain % 10 AS int) AS year",
         "CASE WHEN chain % 10 < 3 THEN 0 ELSE cast(1 + (chain * 7) % 31 AS int) END AS host_id")
       .selectExpr(
-        "doc_id", "chain", "page_idx", "subject", "year", "host_id",
+        "doc_id", "chain", "page_idx", "n_chars", "subject", "year", "host_id",
         "concat('h', cast(host_id AS string), '.example.test') AS host",
         "cast(page_idx AS int) AS priority",
         "cast(page_idx AS int) AS depth")
       .selectExpr(
-        "doc_id", "chain", "page_idx", "subject", "year", "host_id", "host",
-        "priority", "depth",
+        "doc_id", "chain", "page_idx", "n_chars", "subject", "year", "host_id",
+        "host", "priority", "depth",
         "concat('https://', host, '/bece/questions/', subject, '-', " +
           "cast(year AS string), '/c', cast(chain AS string), '/p', " +
           "cast(page_idx AS string)) AS url")
@@ -54,17 +55,17 @@ object Queries {
   // DuckDB twin of frontierView (CTE prefix shared by crawl-family oracles)
   private val FRONTIER_CTE =
     """WITH frontier AS (
-      |  SELECT doc_id, chain, page_idx, subject, year, host_id, host,
+      |  SELECT doc_id, chain, page_idx, n_chars, subject, year, host_id, host,
       |         priority, depth,
       |         concat('https://', host, '/bece/questions/', subject, '-',
       |                cast(year AS varchar), '/c', cast(chain AS varchar),
       |                '/p', cast(page_idx AS varchar)) AS url
       |  FROM (
-      |    SELECT doc_id, chain, page_idx, subject, year, host_id,
+      |    SELECT doc_id, chain, page_idx, n_chars, subject, year, host_id,
       |           concat('h', cast(host_id AS varchar), '.example.test') AS host,
       |           cast(page_idx AS int) AS priority, cast(page_idx AS int) AS depth
       |    FROM (
-      |      SELECT doc_id, chain, page_idx,
+      |      SELECT doc_id, chain, page_idx, n_chars,
       |             CASE cast(chain % 4 AS int) WHEN 0 THEN 'science'
       |                  WHEN 1 THEN 'mathematics' WHEN 2 THEN 'english'
       |                  ELSE 'social-studies' END AS subject,
@@ -72,7 +73,7 @@ object Queries {
       |             CASE WHEN chain % 10 < 3 THEN 0
       |                  ELSE cast(1 + (chain * 7) % 31 AS int) END AS host_id
       |      FROM (SELECT doc_id, doc_id // 4 AS chain,
-      |                   cast(doc_id % 4 AS int) AS page_idx
+      |                   cast(doc_id % 4 AS int) AS page_idx, n_chars
       |            FROM documents)
       |    )
       |  )
@@ -138,16 +139,14 @@ object Queries {
         .select(col("host"), col("host_rank"), col("url"))
     }),
 
-    // A8: per-partition lineage counts — wave proxy × host bucket
-    "a8_lineage_counts" -> ((s, d) => {
-      val docs = t(s, d, "documents").select(col("doc_id"),
-        when(col("n_chars") < 100, 1L).otherwise(0L).as("n_chars_flag"))
-      frontierView(s, d).join(docs, Seq("doc_id"))
+    // A8: per-partition lineage counts — wave proxy × host bucket. One scan:
+    // n_chars rides through frontierView (no self-join of documents).
+    "a8_lineage_counts" -> ((s, d) =>
+      frontierView(s, d)
         .selectExpr("page_idx AS wave", "cast(host_id % 8 AS int) AS host_bucket",
-          "n_chars_flag")
+          "CASE WHEN n_chars < 100 THEN 1L ELSE 0L END AS n_chars_flag")
         .groupBy(col("wave"), col("host_bucket"))
-        .agg(count(lit(1)).as("fetched"), sum(col("n_chars_flag")).as("errors"))
-    }),
+        .agg(count(lit(1)).as("fetched"), sum(col("n_chars_flag")).as("errors"))),
 
     // A9: seen-set digest — order-insensitive (count, arithmetic checksum)
     "a9_seen_digest" -> ((s, d) =>
@@ -191,15 +190,18 @@ object Queries {
          |   SELECT host, url, row_number() OVER (PARTITION BY host
          |     ORDER BY priority, depth, url) AS host_rank FROM frontier)
          | WHERE host_rank <= 5""".stripMargin,
+    // CAST(sum(...) AS BIGINT): DuckDB sums BIGINT→HUGEINT, which the
+    // driver's pandas bridge renders float64 and the hash compare then
+    // mismatches Spark's int64 despite equal values.
     "a8_lineage_counts" ->
       s"""$FRONTIER_CTE SELECT page_idx AS wave, cast(host_id % 8 AS int) AS host_bucket,
-         |        count(*) AS fetched, sum(n_chars_flag) AS errors
-         | FROM (SELECT f.*, CASE WHEN d.n_chars < 100 THEN 1 ELSE 0 END AS n_chars_flag
-         |       FROM frontier f JOIN documents d USING (doc_id))
+         |        count(*) AS fetched,
+         |        CAST(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT) AS errors
+         | FROM frontier
          | GROUP BY 1, 2""".stripMargin,
     "a9_seen_digest" ->
       s"""$FRONTIER_CTE SELECT count(*) AS seen_count,
-         |        sum(chain * 4 + page_idx) AS seen_checksum
+         |        CAST(sum(chain * 4 + page_idx) AS BIGINT) AS seen_checksum
          | FROM frontier WHERE page_idx < 2""".stripMargin,
     "x15_year_expansion" ->
       s"""$FRONTIER_CTE SELECT subject, year,

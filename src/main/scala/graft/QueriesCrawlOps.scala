@@ -87,8 +87,24 @@ object QueriesCrawlOps {
     // F12/S9: flattened CSV rows with the reference's dynamic header order
     "r2_flatten_csv" -> ((s, d) => Restructure.flattenCsv(parsedQuestions(s, d))),
 
-    // S10/A2: per-batch metadata docs (format_version 2.0)
-    "r3_metadata" -> ((s, d) => Restructure.metadata(parsedQuestions(s, d))),
+    // S10/A2: per-batch metadata docs (format_version 2.0) — projected to
+    // flat columns: the driver's pandas compare cannot sort nested structs
+    // (CORRECTNESS_r01 r3 crash); the full nested doc is exercised by
+    // RestructureSpec / BatchSinkSpec goldens.
+    "r3_metadata" -> ((s, d) => Restructure.metadata(parsedQuestions(s, d))
+      .select(col("subject"), col("year"), col("extraction_date"),
+        col("spider_stats.total_questions").as("total_questions"),
+        col("spider_stats.objective_questions").as("objective_questions"),
+        col("spider_stats.theory_questions").as("theory_questions"),
+        col("spider_stats.questions_with_diagrams.objectives").as("diagrams_objectives"),
+        col("spider_stats.questions_with_diagrams.theory").as("diagrams_theory"),
+        col("spider_stats.questions_with_solutions.objectives").as("solutions_objectives"),
+        col("spider_stats.questions_with_solutions.theory").as("solutions_theory"),
+        col("spider_stats.image_download_stats.total_images_expected").as("images_expected"),
+        col("spider_stats.image_download_stats.downloaded_images_count").as("images_downloaded"),
+        col("spider_stats.image_download_stats.failed_downloads").as("failed_downloads"),
+        to_json(col("file_structure")).as("file_structure_json"),
+        col("format_version"))),
 
     // S12/J3/A3: image manifest with deterministic local paths
     "r4_image_manifest" -> ((s, d) => Restructure.imageManifest(parsedQuestions(s, d))),

@@ -19,10 +19,24 @@ object Dedup {
 
   private def tokensCol(text: Column): Column = split(lower(text), " ")
 
-  /** Exact dedup: hash-groupBy full text; canonical = min id (first-wins). */
+  /** Exact dedup: group by `xxhash64(text)` so the exchange carries an
+    * 8-byte key instead of full document bytes (at 100 TB the grouping key IS
+    * the shuffle). Collisions are detected — not silently merged — via a
+    * second independent 64-bit hash: min==max per group proves all texts in
+    * the group agree on both hashes (a double-64-bit collision is ~2^-128).
+    * Canonical = min id (first-wins).
+    */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.groupBy(col(textCol))
-      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+    docs.select(
+        xxhash64(col(textCol)).as("text_hash"),
+        xxhash64(lit(0x9e3779b9L), col(textCol)).as("text_hash2"),
+        col(idCol))
+      .groupBy(col("text_hash"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"),
+        min(col("text_hash2")).as("h2_min"), max(col("text_hash2")).as("h2_max"))
+      .filter(coalesce(assert_true(col("h2_min") === col("h2_max"),
+        lit("xxhash64 collision in exact dedup — fall back to text-keyed group")),
+        lit(true)))
       .select(col("canonical_id"), col("n_copies"))
 
   /** splitmix64 finalizer — the per-token/shingle hash core. */

@@ -50,6 +50,10 @@ object SeenSet {
   final class Bloom(expected: Long, fpp: Double) extends Serializable {
     var filter: BloomFilter = BloomFilter.create(expected, fpp)
     def addWave(hashes: Array[Long]): Unit = hashes.foreach(filter.putLong)
+    /** Merge a distributed-built wave filter (must share (expected, fpp) so
+      * the bit arrays are compatible).
+      */
+    def merge(other: BloomFilter): Unit = filter.mergeInPlace(other)
     def save(spark: SparkSession, dir: String, wave: Int): Unit = {
       val p = new Path(dir, f"bloom_v$wave%05d.bin")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -59,13 +63,20 @@ object SeenSet {
   }
 
   object Bloom {
-    def load(spark: SparkSession, dir: String): Option[(Int, Bloom)] = {
+    /** Load the newest persisted filter below `maxWaveExclusive` (replay
+      * safety: a filter saved by a crashed attempt of the wave being replayed
+      * is skipped — it would only add false positives, but the pre-crash
+      * state is the exact one).
+      */
+    def load(spark: SparkSession, dir: String,
+             maxWaveExclusive: Int = Int.MaxValue): Option[(Int, Bloom)] = {
       val d = new Path(dir)
       val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(d)) return None
       val vs = fs.listStatus(d).map(_.getPath.getName)
         .filter(n => n.startsWith("bloom_v") && n.endsWith(".bin"))
         .map(_.stripPrefix("bloom_v").stripSuffix(".bin").toInt)
+        .filter(_ < maxWaveExclusive)
       if (vs.isEmpty) None
       else {
         val v = vs.max
@@ -98,13 +109,27 @@ object SeenSet {
 
   /** Tier 3: cuckoo-shard confirm via cogroup (shard-aligned, distributed). */
   def cuckooFresh(spark: SparkSession, candidates: DataFrame,
-                  shardTable: SnapshotTable, shards: Int): DataFrame =
-    cuckooFlagged(spark, candidates, shardTable, shards)
+                  shardTable: SnapshotTable, shards: Int,
+                  asOfWaveExclusive: Int = Int.MaxValue): DataFrame =
+    cuckooFlagged(spark, candidates, shardTable, shards, asOfWaveExclusive)
       .filter(!col("is_seen")).drop("is_seen")
+
+  /** Shard state as of the snapshot committed strictly before `waveExclusive`
+    * — on a mid-wave crash replay this skips the crashed attempt's insert, so
+    * the replay flags exactly what the original attempt flagged.
+    */
+  private def blobsBefore(spark: SparkSession, shardTable: SnapshotTable,
+                          waveExclusive: Int): Dataset[ShardBlob] = {
+    import spark.implicits._
+    val v = shardTable.latestVersionBefore(waveExclusive)
+    if (shardTable.isEmptyAt(v)) spark.emptyDataset[ShardBlob]
+    else shardTable.readVersion(v.get).as[ShardBlob]
+  }
 
   /** Tier 3, flag form: every candidate row returned with `is_seen`. */
   def cuckooFlagged(spark: SparkSession, candidates: DataFrame,
-                    shardTable: SnapshotTable, shards: Int): DataFrame = {
+                    shardTable: SnapshotTable, shards: Int,
+                    asOfWaveExclusive: Int = Int.MaxValue): DataFrame = {
     import spark.implicits._
     val cands = candidates.withColumn("shard",
       pmod(col("url_hash"), lit(shards)).cast("int"))
@@ -113,9 +138,7 @@ object SeenSet {
     val shardIdx = withFlag.schema.fieldIndex("shard")
     val hashIdx = withFlag.schema.fieldIndex("url_hash")
     val flagIdx = withFlag.schema.fieldIndex("is_seen")
-    val blobs: Dataset[ShardBlob] =
-      if (shardTable.isEmpty) spark.emptyDataset[ShardBlob]
-      else shardTable.read().as[ShardBlob]
+    val blobs: Dataset[ShardBlob] = blobsBefore(spark, shardTable, asOfWaveExclusive)
     withFlag
       .groupByKey(_.getInt(shardIdx))
       .cogroup(blobs.groupByKey(_.shard)) { (_, rows, blobIt) =>
@@ -140,9 +163,10 @@ object SeenSet {
     import spark.implicits._
     val byShard = newHashes.map(h => (((h % shards) + shards) % shards, h))
       .toDF("shard", "h").as[(Long, Long)]
-    val blobs: Dataset[ShardBlob] =
-      if (shardTable.isEmpty) spark.emptyDataset[ShardBlob]
-      else shardTable.read().as[ShardBlob]
+    // base = state strictly before this wave: a replayed insert after a
+    // mid-wave crash merges into the same pre-crash base (idempotent commit)
+    // instead of double-inserting into the crashed attempt's blobs
+    val blobs: Dataset[ShardBlob] = blobsBefore(spark, shardTable, wave)
     val merged = byShard.groupByKey(_._1.toInt)
       .cogroup(blobs.groupByKey(_.shard)) { (shard, ins, blobIt) =>
         val f = blobIt.toSeq.headOption

@@ -51,6 +51,29 @@ final class SnapshotTable(spark: SparkSession, root: String, name: String) {
   def meta: Map[String, String] =
     latestVersion.map(readManifest(_)._2).getOrElse(Map.empty)
 
+  /** Latest version whose committed wave is strictly below `waveExclusive` —
+    * the snapshot a mid-wave crash replay must read: state tables committed
+    * by the crashed attempt of the replayed wave are skipped, so the replay
+    * sees exactly what the original attempt saw (ADVICE r01: replay
+    * idempotency).
+    */
+  def latestVersionBefore(waveExclusive: Int): Option[Int] = {
+    if (!fs.exists(snapsDir)) return None
+    val vs = fs.listStatus(snapsDir).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+      .map(n => n.stripPrefix("v").stripSuffix(".manifest").toInt)
+      .sorted.reverse
+    vs.find(v => readManifest(v)._2.get("wave").exists(_.toInt < waveExclusive))
+  }
+
+  def isEmptyAt(version: Option[Int]): Boolean =
+    version.isEmpty || readManifest(version.get)._1.isEmpty
+
+  def readVersion(v: Int): DataFrame = {
+    val (dirs, _) = readManifest(v)
+    spark.read.parquet(dirs: _*)
+  }
+
   /** Commit `df` as partition `wave=<wave>`. `append=false` → the new
     * snapshot sees ONLY this wave (frontier semantics: full replace);
     * `append=true` → previous dirs + this one (seen/lineage/questions logs).

@@ -115,6 +115,40 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(CrawlEngine.traceDigest(spark, s3) == CrawlEngine.traceDigest(spark, store))
   }
 
+  /** Roll the frontier back one snapshot: the state then looks exactly like
+    * a crash DURING the last processed wave — its questions/fetchlog/bloom/
+    * cuckoo commits landed, but the frontier never advanced.
+    */
+  private def simulateMidWaveCrash(storeDir: String): Unit = {
+    val snaps = new java.io.File(s"$storeDir/frontier/_snapshots")
+      .listFiles().filter(_.getName.endsWith(".manifest")).sortBy(_.getName)
+    assert(snaps.length >= 2, "need at least two frontier snapshots to roll back")
+    assert(snaps.last.delete())
+  }
+
+  test("mid-wave crash replay is idempotent (ADVICE r01): no lost questions/links") {
+    val s4 = freshStore("midcrash")
+    CrawlEngine.run(spark, sf, s4, CrawlEngine.Config(maxWaves = 2))
+    simulateMidWaveCrash(s4) // crashed while processing wave 1
+    val r4 = CrawlEngine.run(spark, sf, s4, CrawlEngine.Config())
+    assert(r4.seenDigest == result.seenDigest && r4.seenCount == result.seenCount)
+    assert(r4.fetched == result.fetched && r4.errors == result.errors)
+    assert(CrawlEngine.traceDigest(spark, s4) == CrawlEngine.traceDigest(spark, store))
+    val q = new graft.plans.SnapshotTable(spark, s4, "questions").read()
+    val qRef = new graft.plans.SnapshotTable(spark, store, "questions").read()
+    assert(q.count() == qRef.count(), "replayed wave lost or duplicated questions")
+  }
+
+  test("mid-wave crash replay is idempotent under BloomCuckoo (shard state as-of)") {
+    val s5 = freshStore("midcrash-cuckoo")
+    val cfgC = CrawlEngine.Config(strategy = SeenSet.BloomCuckoo)
+    CrawlEngine.run(spark, sf, s5, cfgC.copy(maxWaves = 2))
+    simulateMidWaveCrash(s5)
+    val r5 = CrawlEngine.run(spark, sf, s5, cfgC)
+    assert(r5.seenDigest == result.seenDigest && r5.fetched == result.fetched)
+    assert(CrawlEngine.traceDigest(spark, s5) == CrawlEngine.traceDigest(spark, store))
+  }
+
   test("strategy equivalence: ExactAnti ≡ BloomExact ≡ BloomCuckoo at test scale") {
     val sE = freshStore("exact")
     val rE = CrawlEngine.run(spark, sf, sE, CrawlEngine.Config(strategy = SeenSet.ExactAnti))
