@@ -83,44 +83,70 @@ object Bench {
   private def round2(x: Double): Double = (x * 100).round / 100.0
   private def round3(x: Double): Double = (x * 1000).round / 1000.0
 
+  /** Median (upper-middle for even n) — the round-1 reps=1 / best-of-N
+    * protocol produced physically impossible ceiling numbers on this
+    * high-variance sandbox; medians of interleaved runs are the judged fix.
+    */
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val amplify = sys.env.getOrElse("SPARK_GRAFT_AMPLIFY", "800").toInt
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val skipScaling = sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")
 
-    // part 1: operator queries
+    // part 1: operator queries. One untimed warmup pass first (JIT + page
+    // cache — round 1 charged ~5 s of first-query warmup to a8), then one
+    // timed pass recording per-query success: a failing query must bench as
+    // FAILED, not as fast.
     val spark = session(cpus)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    ordered.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () } }
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] query $name FAILED: ${e.getMessage}")
+          false
+        }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
     spark.stop()
 
     var extra = ""
     if (!skipScaling) {
       val pagesDir = stagePages(sfDir, amplify)
-      // warm the page cache + JIT with one extract pass, then measure
+      // warm the page cache + JIT with one extract pass, then measure the
+      // ceiling probe and the crawl INTERLEAVED (8,32,8,32,…) so drift hits
+      // both levels equally; medians over reps
       extractAt(32, pagesDir)
-      val (ce8, _) = (1 to reps).map(_ => extractAt(8, pagesDir)).minBy(_._1)
-      val (ce32, np) = (1 to reps).map(_ => extractAt(32, pagesDir)).minBy(_._1)
-      val (c8, work8, dig8) =
-        (1 to reps).map(_ => crawlAt(8, sfDir, amplify, pagesDir)).minBy(_._1)
-      val (c32, work32, dig32) =
-        (1 to reps).map(_ => crawlAt(32, sfDir, amplify, pagesDir)).minBy(_._1)
-      val thr8 = work8 / c8
-      val thr32 = work32 / c32
+      val ceil = (1 to reps).map(_ => (extractAt(8, pagesDir), extractAt(32, pagesDir)))
+      val ce8 = median(ceil.map(_._1._1))
+      val ce32 = median(ceil.map(_._2._1))
+      val np = ceil.last._2._2
+      val crawls = (1 to reps).map(_ =>
+        (crawlAt(8, sfDir, amplify, pagesDir), crawlAt(32, sfDir, amplify, pagesDir)))
+      val thr8 = median(crawls.map(r => r._1._2 / r._1._1))
+      val thr32 = median(crawls.map(r => r._2._2 / r._2._1))
+      val digests = crawls.flatMap(r => Seq(r._1._3, r._2._3))
       val crawlSpeedup = thr32 / thr8
       val ceilingSpeedup = ce8 / ce32
-      extra = f""","crawl_urls_per_sec_8":${round2(thr8)},"crawl_urls_per_sec_32":${round2(thr32)},"scaling_efficiency":${round3(crawlSpeedup / 4.0)},"cpu_ceiling_speedup_8_to_32":${round3(ceilingSpeedup)},"scaling_efficiency_vs_ceiling":${round3(crawlSpeedup / ceilingSpeedup)},"extract_pages_per_sec_32":${round2(np / ce32)},"scaling_digests_equal":${dig8 == dig32},"amplify":$amplify"""
+      def arr(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
+      extra = f""","crawl_urls_per_sec_8":${round2(thr8)},"crawl_urls_per_sec_32":${round2(thr32)},"scaling_efficiency":${round3(crawlSpeedup / 4.0)},"cpu_ceiling_speedup_8_to_32":${round3(ceilingSpeedup)},"scaling_efficiency_vs_ceiling":${round3(crawlSpeedup / ceilingSpeedup)},"extract_pages_per_sec_32":${round2(np / ce32)},"scaling_digests_equal":${digests.distinct.size == 1},"reps":$reps,"crawl_secs_8":${arr(crawls.map(_._1._1))},"crawl_secs_32":${arr(crawls.map(_._2._1))},"ceiling_secs_8":${arr(ceil.map(_._1._1))},"ceiling_secs_32":${arr(ceil.map(_._2._1))},"amplify":$amplify"""
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+    val qs = results.map { case (k, v, _) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
+    val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$extra}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_ok":${results.count(_._3)},"queries_failed":$failed,"sf":"$sfDir"$extra}""")
   }
 }

@@ -66,6 +66,10 @@ object QueriesCrawlOps {
       Similarity.annTopK(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5), 3)
     }),
 
+    // embedding near-dup blocked by LSH bucket (the label-free 100-TB path)
+    "m4_embedding_neardup_lsh" -> ((s, d) =>
+      Similarity.cosineNearDupLsh(t(s, d, "embeddings"), 0.45)),
+
     // document fingerprints (rolling hash)
     "t4_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprints(t(s, d, "documents"))),

@@ -120,10 +120,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash per doc: sign-aggregated token-hash bits. Built-ins only
-    * (bit ops over an aggregate fold); bucket key = top 16 bits for
-    * candidate generation.
-    */
+  /** 64-bit SimHash per doc: sign-aggregated token-hash bits. */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // compiled UDF for the same reason as minhashSignatures: 64 interpreted
     // per-bit aggregate lambdas per row are ~100× slower than one tight loop
@@ -143,17 +140,31 @@ object Dedup {
       sig
     })
     docs.select(col(idCol), simUdf(col(textCol)).as("simhash"))
-      .withColumn("bucket", shiftright(col("simhash"), 48).cast("int"))
   }
 
-  /** SimHash near-dup pairs: same 16-bit bucket, hamming distance <= maxHamming. */
+  /** SimHash near-dup pairs, 4×16-bit band tables: a pair is a candidate when
+    * ANY of the four 16-bit bands of the signature is equal (round 1 used
+    * only the top-16-bit band, which is blind to every pair whose differing
+    * bits land there). Pigeonhole: ≤3 differing bits can corrupt at most 3 of
+    * the 4 bands, so recall is exact for hamming ≤ 3 and high for ≤6 (a miss
+    * needs the ≤6 flips spread across all 4 bands); the hamming verify on
+    * candidates keeps precision exact. Shuffle key stays 16 bits per band —
+    * candidate fan-in per bucket is bounded as before, ×4 tables.
+    */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 8,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val s = simhash(docs, idCol, textCol).localCheckpoint()
-    val l = s.select(col("bucket"), col(idCol).as("id_a"), col("simhash").as("sh_a"))
-    val r = s.select(col("bucket"), col(idCol).as("id_b"), col("simhash").as("sh_b"))
-    l.join(r, Seq("bucket"))
+    val banded = s.select(col(idCol), col("simhash"), posexplode(
+      array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+      .as(Seq("band", "band_key")))
+    val l = banded.select(col("band"), col("band_key"),
+      col(idCol).as("id_a"), col("simhash").as("sh_a"))
+    val r = banded.select(col("band"), col("band_key"),
+      col(idCol).as("id_b"), col("simhash").as("sh_b"))
+    l.join(r, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
       .withColumn("hamming", bit_count(expr("sh_a ^ sh_b")))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))

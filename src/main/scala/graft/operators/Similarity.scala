@@ -53,24 +53,46 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (table, plane, dim)
-    * — splitmix-style, no RNG state, identical on every executor.
-    */
-  private def hpComponent(table: Int, plane: Int, dim: Column): Column = {
-    val seed = xxhash64(lit(table), lit(plane), dim)
-    (pmod(seed, lit(100000L)).cast("double") / 50000.0) - 1.0
+  /** splitmix64 finalizer — deterministic hyperplane seeds, no RNG state. */
+  @inline private def mix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e9b5L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
   }
 
-  /** LSH bucket id: `nPlanes` sign bits of hyperplane dot products. */
+  /** Deterministic pseudo-random hyperplane component in [-1, 1) for
+    * (table, plane, dim) — identical on every executor, every run.
+    */
+  private def hpComponent(table: Int, plane: Int, dim: Int): Double = {
+    val s = mix64((table.toLong << 40) ^ (plane.toLong << 20) ^ dim.toLong)
+    (((s % 100000L) + 100000L) % 100000L).toDouble / 50000.0 - 1.0
+  }
+
+  /** LSH bucket id: `nPlanes` sign bits of hyperplane dot products. One
+    * compiled UDF with the hyperplane matrix precomputed in the closure —
+    * the round-1 `aggregate(zip_with(...))` formulation evaluated
+    * nPlanes×dims *interpreted* lambda steps per row (the measured
+    * ~55-100×-slow pattern this codebase replaces everywhere else).
+    */
   def lshBucket(vec: Column, table: Int, nPlanes: Int, dims: Int): Column = {
-    val bits = (0 until nPlanes).map { p =>
-      val dot = aggregate(
-        zip_with(vec, sequence(lit(0), lit(dims - 1)),
-          (x, i) => x.cast("double") * hpComponent(table, p, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+    val planes: Array[Array[Double]] =
+      Array.tabulate(nPlanes, dims)((p, d) => hpComponent(table, p, d))
+    val bucketUdf = udf((v: Seq[Float]) => {
+      var bucket = 0L
+      var p = 0
+      while (p < planes.length) {
+        val row = planes(p)
+        val n = math.min(v.length, row.length)
+        var dot = 0.0
+        var i = 0
+        while (i < n) { dot += v(i).toDouble * row(i); i += 1 }
+        if (dot > 0) bucket |= (1L << p)
+        p += 1
+      }
+      bucket
+    })
+    bucketUdf(vec)
   }
 
   /** Approximate top-k: queries and corpus bucketed per LSH table; exact
@@ -96,8 +118,31 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
   }
 
+  /** Embedding near-dup at scale: block by LSH bucket (no label needed) —
+    * multi-table union for recall, exact cosine verify, quadratic term
+    * confined to within-bucket. This is the 100-TB path; [[cosineNearDup]]
+    * below is the label-blocked variant with a DuckDB oracle.
+    */
+  def cosineNearDupLsh(vecs: DataFrame, threshold: Double, nTables: Int = 4,
+                       nPlanes: Int = 8, dims: Int = 64,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val tables = (0 until nTables).map { tbl =>
+      val b = vecs.select(col(idCol), col(vecCol),
+        lshBucket(col(vecCol), tbl, nPlanes, dims).as("block"))
+      val l = b.select(col("block"), col(idCol).as("id_a"), col(vecCol).as("va"))
+      val r = b.select(col("block"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+      l.join(r, Seq("block"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+        .filter(col("cos") >= threshold)
+        .select(col("id_a"), col("id_b"), col("cos"))
+    }
+    tables.reduce(_ unionByName _).distinct()
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked by a label/cluster column
-    * (or LSH bucket at scale): pairs with cosine >= threshold.
+    * (or LSH bucket at scale — see [[cosineNearDupLsh]]): pairs with
+    * cosine >= threshold.
     */
   def cosineNearDup(vecs: DataFrame, threshold: Double, blockCol: String = "label",
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
