@@ -154,6 +154,17 @@ object Queries {
         .agg(count(lit(1)).as("seen_count"),
           sum(col("chain") * 4 + col("page_idx")).as("seen_checksum"))),
 
+    // X16: comma-separated subject-list parse with whitespace strip
+    // (run_spider.py:121-123 parse_subjects) — the CLI arg re-derived from
+    // the frontier so the oracle runs on the same tables
+    "x16_subject_parse" -> ((s, d) =>
+      frontierView(s, d).groupBy(col("year"))
+        .agg(array_join(sort_array(collect_set(
+          concat(lit(" "), col("subject"), lit(" ")))), ",").as("subjects_arg"))
+        .select(col("year"),
+          explode(expr("transform(split(subjects_arg, ','), s -> trim(s))"))
+            .as("subject"))),
+
     // X9/X15: url templating + year-range expansion (sequence → explode)
     "x15_year_expansion" -> ((s, d) =>
       frontierView(s, d).select(col("subject")).distinct()
@@ -203,6 +214,12 @@ object Queries {
       s"""$FRONTIER_CTE SELECT count(*) AS seen_count,
          |        CAST(sum(chain * 4 + page_idx) AS BIGINT) AS seen_checksum
          | FROM frontier WHERE page_idx < 2""".stripMargin,
+    "x16_subject_parse" ->
+      s"""$FRONTIER_CTE SELECT year, trim(s) AS subject FROM (
+         |   SELECT year, unnest(string_split(subjects_arg, ',')) AS s FROM (
+         |     SELECT year, array_to_string(list_sort(list(DISTINCT
+         |              concat(' ', subject, ' '))), ',') AS subjects_arg
+         |     FROM frontier GROUP BY year))""".stripMargin,
     "x15_year_expansion" ->
       s"""$FRONTIER_CTE SELECT subject, year,
          |   concat('https://kuulchat.com/bece/questions/', subject, '-',

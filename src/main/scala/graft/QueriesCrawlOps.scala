@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Extract, QuestionParser, TextAnalysis}
-import graft.operators.{Dedup, Multimodal, Politeness, Restructure, Similarity}
+import graft.operators.{BatchSink, Dedup, Enrichment, Multimodal, Politeness, Restructure, Similarity}
 import graft.sources.PagesGen
 
 /** Rows-only queries (no SQL-expressible oracle — html parsing, sketching,
@@ -113,16 +113,67 @@ object QueriesCrawlOps {
     // S12/J3/A3: image manifest with deterministic local paths
     "r4_image_manifest" -> ((s, d) => Restructure.imageManifest(parsedQuestions(s, d))),
 
-    // J2: metadata enrichment outcome classification
+    // J2/A6: metadata enrichment outcomes — the REAL round-trip: write the
+    // batch artifact tree, put batches into all three states (enriched =
+    // current, stale url = update-replace, untouched = update-add, missing
+    // JSON = skip), scan the files back, classify per
+    // update_all_metadata.py:104-133.
     "r5_enrich_outcomes" -> ((s, d) => {
-      val q = parsedQuestions(s, d)
-      Restructure.enrichMetadata(
-        Restructure.metadata(q).select(col("subject"), col("year")),
-        Restructure.restructuredDocs(q)
-          .select(col("subject"), col("year"), col("page_screenshot")))
+      val out = java.nio.file.Files.createTempDirectory("graft-r5").toString
+      BatchSink.writeBatchOutputs(s, parsedQuestions(s, d), out)
+      Enrichment.scanBatchState(s, out).select("subject", "year", "screenshot_url")
+        .collect().foreach { r =>
+          val name = s"${r.getString(0)}_${r.getInt(1)}"
+          val meta = s"$out/$name/${name}_metadata.json"
+          r.getInt(1) % 4 match {
+            case 0 => Enrichment.enrichMetadataFile(meta, r.getString(2)) // current
+            case 1 => Enrichment.enrichMetadataFile(meta, "https://stale.example/old.png") // update
+            case 2 => java.nio.file.Files.delete(
+              java.nio.file.Paths.get(s"$out/$name/$name.json")) // skip
+            case _ => () // metadata lacks the url -> update (add new)
+          }
+        }
+      Enrichment.classify(Enrichment.scanBatchState(s, out))
         .groupBy(col("outcome")).agg(count(lit(1)).as("n"))
+    }),
+
+    // S13/S14/A7: composed screenshot workflow with batch tally
+    "w1_screenshot_workflow" -> ((s, d) => workflowQuery(s, d)),
+
+    // S5/S6/S7 literal: raw Scrapy feed write + scan-back round-trip —
+    // per-batch item counts by type from the re-read temp json
+    "r6_raw_feed_roundtrip" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-r6").toString
+      val feeds = BatchSink.writeRawFeeds(s, parsedQuestions(s, d), out)
+      feeds.map { case (j, _) =>
+        val name = java.nio.file.Paths.get(j).getFileName.toString
+          .stripPrefix("temp_").stripSuffix(".json")
+        val cut = name.lastIndexOf('_')
+        BatchSink.readRawFeed(s, j)
+          .groupBy(col("type")).agg(count(lit(1)).as("n_items"))
+          .withColumn("subject", lit(name.substring(0, cut)))
+          .withColumn("year", lit(name.substring(cut + 1).toInt))
+      }.reduce(_ unionByName _)
+        .select(col("subject"), col("year"), col("type"), col("n_items"))
     })
   )
+
+  /** S13/S14/A7: the composed screenshot workflow over a real artifact tree —
+    * capture → upload → enrich per batch, per-stage retry accounting, batch
+    * tally (screenshot_workflow.py:87-190,283-296).
+    */
+  private def workflowQuery(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.ScreenshotWorkflow
+    val out = java.nio.file.Files.createTempDirectory("graft-w1").toString
+    val q = parsedQuestions(s, d)
+    BatchSink.writeBatchOutputs(s, q, out)
+    val items = Restructure.metadata(q).select(col("subject"), col("year"))
+      .collect().sortBy(r => (r.getString(0), r.getInt(1)))
+      .map(r => ScreenshotWorkflow.Item(r.getString(0), r.getInt(1),
+        s"https://kuulchat.com/bece/questions/${r.getString(0)}-${r.getInt(1)}/"))
+    val results = ScreenshotWorkflow.processBatch(s, items.toSeq, out)
+    ScreenshotWorkflow.batchTally(results)
+  }
 
   /** Questions parsed straight from the synthesized pages (shared input for
     * the restructure-family queries).

@@ -113,6 +113,87 @@ object BatchSink {
     }
   }
 
+  /** S5/S6 in their literal form: the raw Scrapy feed files that land BEFORE
+    * restructuring (`run_spider.py:182-192`) — `temp_{subject}_{year}.json`
+    * (indent-2 JSON array of yielded items, crawl order) and
+    * `temp_{subject}_{year}.csv`. Item key order = the spider's dict
+    * insertion order (`core/main.py:178-203,449-456`); `answer`/`solution`
+    * keys present only when set. CSV columns = the first item's keys
+    * (Scrapy's CsvItemExporter default with FEED_EXPORT_FIELDS unset);
+    * nested values are serialized as JSON (stable stand-in for Scrapy's
+    * python-repr cells — the reference pipeline never reads the CSV back).
+    * Returns (jsonPath, csvPath) per batch.
+    */
+  def writeRawFeeds(spark: SparkSession, questions: DataFrame,
+                    outDir: String): Seq[(String, String)] = {
+    import scala.collection.mutable.LinkedHashMap
+    def itemOf(r: Row): LinkedHashMap[String, Any] = {
+      val m = LinkedHashMap.empty[String, Any]
+      m("section") = r.getAs[String]("section")
+      m("type") = r.getAs[String]("qtype")
+      m("number") = r.getAs[Int]("number").toLong
+      m("question") = r.getAs[String]("question")
+      val opts = r.getAs[Row]("options")
+      if (r.getAs[String]("qtype") == "mcq" && opts != null)
+        m("options") = LinkedHashMap(
+          "A" -> opts.getAs[String]("A"), "B" -> opts.getAs[String]("B"),
+          "C" -> opts.getAs[String]("C"), "D" -> opts.getAs[String]("D"))
+      if (r.getAs[String]("qtype") == "theory")
+        m("subparts") = Option(r.getAs[scala.collection.Seq[Row]]("subparts"))
+          .getOrElse(scala.collection.Seq.empty).map { sp =>
+            val s = LinkedHashMap.empty[String, Any]
+            s("part") = sp.getAs[String]("part")
+            s("question") = sp.getAs[String]("question")
+            s("subparts") = Option(sp.getAs[scala.collection.Seq[Row]]("subparts"))
+              .getOrElse(scala.collection.Seq.empty).map(ss => LinkedHashMap(
+                "part" -> ss.getAs[String]("part"),
+                "question" -> ss.getAs[String]("question")))
+            if (sp.getAs[String]("solution") != null)
+              s("solution") = sp.getAs[String]("solution")
+            s
+          }
+      m("diagrams") =
+        Option(r.getAs[scala.collection.Seq[String]]("diagrams"))
+          .getOrElse(scala.collection.Seq.empty)
+      if (r.getAs[String]("answer") != null) m("answer") = r.getAs[String]("answer")
+      if (r.getAs[String]("solution") != null) m("solution") = r.getAs[String]("solution")
+      m
+    }
+    Files.createDirectories(Paths.get(outDir))
+    val rows = questions
+      .orderBy(col("seed_subject"), col("seed_year"), col("url"), col("pos"))
+      .collect() // reference batch sizes: small by construction (header note)
+    rows.groupBy(r => (r.getAs[String]("seed_subject"), r.getAs[Int]("seed_year")))
+      .toSeq.sortBy(_._1).map { case ((subject, year), rs) =>
+        val items = rs.map(itemOf).toSeq
+        val jsonP = Paths.get(outDir, s"temp_${subject}_$year.json")
+        Files.write(jsonP,
+          graft.util.Json.pretty(items).getBytes(StandardCharsets.UTF_8))
+        val cols = items.headOption.map(_.keys.toSeq).getOrElse(Seq.empty)
+        val csv = new StringBuilder(cols.map(csvQuote).mkString(",") + "\r\n")
+        items.foreach { it =>
+          csv ++= cols.map { c =>
+            it.get(c) match {
+              case None | Some(null) => ""
+              case Some(s: String) => csvQuote(s)
+              case Some(n: Long) => n.toString
+              case Some(v) => csvQuote(graft.util.Json.pretty(v)
+                .replace("\n", " ").replaceAll(" +", " "))
+            }
+          }.mkString(",") + "\r\n"
+        }
+        val csvP = Paths.get(outDir, s"temp_${subject}_$year.csv")
+        Files.write(csvP, csv.result().getBytes(StandardCharsets.UTF_8))
+        (jsonP.toString, csvP.toString)
+      }
+  }
+
+  /** S7: scan a raw temp feed back (restructure_questions.py:50-51 —
+    * `json.load` of the Scrapy feed array) as a DataFrame of items.
+    */
+  def readRawFeed(spark: SparkSession, jsonPath: String): DataFrame =
+    spark.read.option("multiLine", "true").json(jsonPath)
+
   /** S7: scan the batch output tree back (directory-name parse, X10) —
     * `update_all_metadata.py:20-42` / `generate_reports.py:6-16`.
     */

@@ -265,16 +265,21 @@ object Restructure {
       }.toDF("subject", "year", "report")
   }
 
-  /** J2 (update_all_metadata.py:96-145): propagate screenshot urls into
-    * metadata; classify each batch update|current|skip.
+  /** J2 (update_all_metadata.py:96-133): classify each batch given its
+    * EXISTING metadata screenshot url — `existing` must carry
+    * (subject, year, existing_url). Missing/empty incoming url → skip;
+    * existing equals incoming → current (already up to date); else → update
+    * (add new or replace stale). The artifact-tree round-trip that produces
+    * `existing_url` for real (scan → classify → enrich_metadata_file) lives
+    * in [[Enrichment]]; this is the pure classification join.
     */
-  def enrichMetadata(metadataDf: DataFrame, screenshots: DataFrame): DataFrame =
-    metadataDf.join(screenshots, Seq("subject", "year"), "left")
-      .withColumn("existing_url", lit(null).cast("string"))
+  def enrichMetadata(existing: DataFrame, screenshots: DataFrame): DataFrame =
+    existing.join(screenshots, Seq("subject", "year"), "left")
       .withColumn("outcome",
-        when(col("page_screenshot").isNull, lit("skip"))
-          .when(col("existing_url").isNull ||
-            col("existing_url") =!= col("page_screenshot"), lit("update"))
-          .otherwise(lit("current")))
+        when(col("page_screenshot").isNull || col("page_screenshot") === "",
+          lit("skip"))
+          .when(col("existing_url").isNotNull && col("existing_url") =!= "" &&
+            col("existing_url") === col("page_screenshot"), lit("current"))
+          .otherwise(lit("update")))
       .select(col("subject"), col("year"), col("page_screenshot"), col("outcome"))
 }

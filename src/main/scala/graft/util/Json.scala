@@ -28,6 +28,59 @@ object Json {
   def obj(fields: Seq[(String, String)]): String =
     fields.map { case (k, v) => str(k) + ":" + v }.mkString("{", ",", "}")
 
+  // --- generic tree: parse / pretty (for the enrichment file rewrites) ------
+  // Jackson ships inside the Spark jar set; field order is preserved
+  // (LinkedHashMap) because the reference's json.dump keeps dict insertion
+  // order and the enriched artifact must round-trip byte-stably.
+
+  /** Parse arbitrary JSON into Scala trees: LinkedHashMap / Vector / String /
+    * Long / Double / Boolean / null.
+    */
+  def parse(s: String): Any =
+    toScala(new com.fasterxml.jackson.databind.ObjectMapper().readTree(s))
+
+  private def toScala(n: com.fasterxml.jackson.databind.JsonNode): Any = {
+    import com.fasterxml.jackson.databind.node.JsonNodeType._
+    n.getNodeType match {
+      case OBJECT =>
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+        n.properties().forEach(e => m.put(e.getKey, toScala(e.getValue)))
+        m
+      case ARRAY =>
+        val b = Vector.newBuilder[Any]
+        n.forEach(x => b += toScala(x))
+        b.result()
+      case STRING => n.textValue()
+      case NUMBER => if (n.isIntegralNumber) n.longValue() else n.doubleValue()
+      case BOOLEAN => n.booleanValue()
+      case _ => null
+    }
+  }
+
+  /** Indent-2 pretty printer over [[parse]] trees — same layout as the batch
+    * sink's artifact writer (json.dump(indent=2, ensure_ascii=False)).
+    */
+  def pretty(v: Any, indent: Int = 0): String = v match {
+    case null => "null"
+    case s: String => str(s)
+    case m: scala.collection.Map[_, _] =>
+      if (m.isEmpty) "{}"
+      else {
+        val pad = "  " * (indent + 1)
+        m.map { case (k, x) => pad + str(k.toString) + ": " + pretty(x, indent + 1) }
+          .mkString("{\n", ",\n", "\n" + ("  " * indent) + "}")
+      }
+    case seq: scala.collection.Seq[_] =>
+      if (seq.isEmpty) "[]"
+      else {
+        val pad = "  " * (indent + 1)
+        seq.map(x => pad + pretty(x, indent + 1))
+          .mkString("[\n", ",\n", "\n" + ("  " * indent) + "]")
+      }
+    case b: Boolean => b.toString
+    case n => n.toString
+  }
+
   def options(o: Options): String =
     obj(Seq("A" -> str(o.A), "B" -> str(o.B), "C" -> str(o.C), "D" -> str(o.D)))
 

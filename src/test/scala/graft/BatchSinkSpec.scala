@@ -65,6 +65,32 @@ class BatchSinkSpec extends AnyFunSuite {
     assert(scanned.forall(_.getAs[Int]("year") == 2015))
   }
 
+  test("raw Scrapy feeds (S5/S6 literal): temp json/csv written, json scans back") {
+    val out = Files.createTempDirectory("graft-rawfeed").toString
+    val feeds = BatchSink.writeRawFeeds(spark, questions, out)
+    assert(feeds.nonEmpty)
+    feeds.foreach { case (j, c) =>
+      assert(Files.exists(Paths.get(j)) && Files.exists(Paths.get(c)))
+      assert(new String(Files.readAllBytes(Paths.get(j)), StandardCharsets.UTF_8)
+        .startsWith("[\n"))
+    }
+    // round-trip: the scanned-back feed reproduces the per-type counts of
+    // the in-memory questions (the restructure pipeline's real input path)
+    val (jsonP, _) = feeds.head
+    val name = Paths.get(jsonP).getFileName.toString
+      .stripPrefix("temp_").stripSuffix(".json")
+    val cut = name.lastIndexOf('_')
+    val (subject, year) = (name.substring(0, cut), name.substring(cut + 1).toInt)
+    val back = BatchSink.readRawFeed(spark, jsonP)
+      .groupBy(col("type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = questions
+      .filter(col("seed_subject") === subject && col("seed_year") === year)
+      .groupBy(col("qtype")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(back == direct, s"feed=$back direct=$direct")
+  }
+
   test("retry with exponential backoff doubles delays and stops at success") {
     val delays = scala.collection.mutable.ArrayBuffer.empty[Long]
     var calls = 0

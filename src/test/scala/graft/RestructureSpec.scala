@@ -96,11 +96,25 @@ class RestructureSpec extends AnyFunSuite {
     assert(r.contains("Success Rate: 100.00%"))
   }
 
-  test("metadata enrichment classifies outcomes (J2)") {
-    val md = Restructure.metadata(questions).select("subject", "year")
+  test("metadata enrichment classifies all three outcomes (J2)") {
     val shots = Restructure.restructuredDocs(questions)
-      .select(col("subject"), col("year"), col("page_screenshot"))
-    val out = Restructure.enrichMetadata(md, shots)
-    assert(out.filter(col("outcome") === "update").count() == out.count())
+      .select(col("subject"), col("year"), col("page_screenshot")).cache()
+    // existing state per batch: year%3==0 already has the matching url
+    // (current), %3==1 has a stale url (update-replace), %3==2 has none
+    // (update-add)
+    val existing = shots.select(col("subject"), col("year"),
+      when(col("year") % 3 === 0, col("page_screenshot"))
+        .when(col("year") % 3 === 1, lit("https://stale.example/old.png"))
+        .otherwise(lit(null).cast("string")).as("existing_url"))
+    val out = Restructure.enrichMetadata(existing, shots).cache()
+    assert(out.filter(col("outcome") === "current")
+      .count() == existing.filter(col("year") % 3 === 0).count())
+    assert(out.filter(col("outcome") === "update")
+      .count() == existing.filter(col("year") % 3 =!= 0).count())
+    // a batch with no screenshot in the JSON is skipped
+    val skip = Restructure.enrichMetadata(
+      existing.limit(1),
+      shots.limit(1).withColumn("page_screenshot", lit(null).cast("string")))
+    assert(skip.head().getAs[String]("outcome") == "skip")
   }
 }
