@@ -19,6 +19,13 @@ import graft.util.Json
   * writers collect per-batch rows to the driver exactly like the reference's
   * single-process writers; the heavy lifting (grouping, flattening, stats)
   * stays distributed in Restructure.
+  *
+  * Documented deviation (ADVICE r01, low): when the reference's HTML-answer
+  * fallback fires for a question that also has a solution, its dict order is
+  * ..., solution, answer (core/main.py:178-183); the engine's struct schema
+  * always emits answer before solution. Provenance isn't carried through the
+  * columnar pipeline; goldens compare in canonical sorted-key form
+  * (Json.scala note) where the orders coincide.
   */
 object BatchSink {
 
@@ -44,11 +51,36 @@ object BatchSink {
     case n => n.toString
   }
 
-  private def jsonRow(r: Row, indent: Int): String = {
+  /** Render an ordered (image_url, local_path) entry list as a JSON object —
+    * the reference's downloaded_image_map is a dict in download order, which
+    * the engine carries as an array (Scala Maps lose insertion order past 4
+    * entries).
+    */
+  private def jsonEntriesObject(v: Any, indent: Int): String = v match {
+    case seq: scala.collection.Seq[_] if seq.nonEmpty =>
+      val pad = "  " * (indent + 1)
+      seq.map { case e: Row =>
+        pad + Json.str(e.getAs[String]("image_url")) + ": " +
+          Json.str(e.getAs[String]("local_path"))
+      }.mkString("{\n", ",\n", "\n" + ("  " * indent) + "}")
+    case _ => "{}"
+  }
+
+  /** `overrides`: field name → pre-rendered JSON (e.g. the metadata `year`,
+    * which the reference holds as a str parsed from the CLI/directory and so
+    * writes as a JSON string, restructure_questions.py:136-137).
+    */
+  private def jsonRow(r: Row, indent: Int,
+                      overrides: Map[String, String] = Map.empty): String = {
     val pad = "  " * (indent + 1)
     val fields = r.schema.fieldNames.zipWithIndex
       .filter { case (_, i) => !r.isNullAt(i) } // reference omits absent keys
-      .map { case (n, i) => pad + Json.str(n) + ": " + jsonValue(r.get(i), indent + 1) }
+      .map { case (n, i) =>
+        val rendered = overrides.getOrElse(n,
+          if (n == "downloaded_image_map") jsonEntriesObject(r.get(i), indent + 1)
+          else jsonValue(r.get(i), indent + 1))
+        pad + Json.str(n) + ": " + rendered
+      }
     if (fields.isEmpty) "{}" else fields.mkString("{\n", ",\n", "\n" + ("  " * indent) + "}")
   }
 
@@ -101,9 +133,11 @@ object BatchSink {
       Files.write(dir.resolve(s"${subject}_$year.csv"),
         csv.result().getBytes(StandardCharsets.UTF_8))
 
-      // S10: metadata JSON
+      // S10: metadata JSON (year as a JSON string — see jsonRow overrides)
       Files.write(dir.resolve(s"${subject}_${year}_metadata.json"),
-        jsonRow(metas((subject, year)), 0).getBytes(StandardCharsets.UTF_8))
+        jsonRow(metas((subject, year)), 0,
+          overrides = Map("year" -> Json.str(year.toString)))
+          .getBytes(StandardCharsets.UTF_8))
 
       // S11: report text
       Files.write(dir.resolve("reports").resolve(s"${subject}_${year}_image_download_report.txt"),

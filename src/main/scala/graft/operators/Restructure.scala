@@ -80,8 +80,12 @@ object Restructure {
       val fn = url.substring(url.lastIndexOf('/') + 1)
       s"images/$qt/${PyText.pyQuote(fn)}"
     })
+    // first-occurrence order = the downloader's iteration order over the
+    // restructured dict: all objectives (in (url, pos) order) before theory
+    // (restructure_questions.py:88-91 → ImageDownloader insertion order)
+    val ordRank = when(col("qt") === "objectives", 0).otherwise(1)
     val w = Window.partitionBy(col("subject"), col("year"), col("image_url"))
-      .orderBy(col("url"), col("pos"))
+      .orderBy(ordRank, col("url"), col("pos"))
     questions.withColumn("qt", qtypeCol)
       .select(col("seed_subject").as("subject"), col("seed_year").as("year"),
         col("url"), col("pos"), col("qt"),
@@ -89,7 +93,8 @@ object Restructure {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("subject"), col("year"), col("image_url"),
-        pathFor(col("qt"), col("image_url")).as("local_path"))
+        pathFor(col("qt"), col("image_url")).as("local_path"),
+        ordRank.as("ord_rank"), col("url").as("ord_url"), col("pos").as("ord_pos"))
   }
 
   /** A3+A4: per-batch image download stats with success rate (all downloads
@@ -102,8 +107,14 @@ object Restructure {
       .agg(count(lit(1)).as("total_images_expected"),
         count(lit(1)).as("downloaded_images_count"),
         lit(0L).as("failed_downloads"),
-        map_from_entries(sort_array(collect_list(
-          struct(col("image_url"), col("local_path"))))).as("downloaded_image_map"))
+        // an ORDERED entry list, not a map: the reference's
+        // downloaded_image_map is a dict in download (first-occurrence)
+        // order, and Scala Maps beyond 4 entries lose insertion order — the
+        // sink renders these entries as a JSON object
+        expr("transform(sort_array(collect_list(struct(" +
+          "ord_rank, ord_url, ord_pos, image_url, local_path))), " +
+          "x -> struct(x.image_url AS image_url, x.local_path AS local_path))")
+          .as("downloaded_image_map"))
       .withColumn("success_rate",
         when(col("total_images_expected") > 0,
           round(col("downloaded_images_count") * 100.0 / col("total_images_expected"), 2))
@@ -130,12 +141,20 @@ object Restructure {
     byType.join(imageDownloadStats(questions), Seq("subject", "year"), "left")
       .select(col("subject"), col("year"),
         lit(PinnedIso).as("extraction_date"),
+        // zero-count type keys are OMITTED: the reference converts
+        // defaultdicts with dict(), so a type that never incremented has no
+        // key (restructure_questions.py:144-145) — null here so the JSON
+        // sink drops it
         struct(col("total_questions"), col("objective_questions"),
           col("theory_questions"),
-          struct(col("diagrams_objectives").as("objectives"),
-            col("diagrams_theory").as("theory")).as("questions_with_diagrams"),
-          struct(col("solutions_objectives").as("objectives"),
-            col("solutions_theory").as("theory")).as("questions_with_solutions"),
+          struct(when(col("diagrams_objectives") > 0, col("diagrams_objectives"))
+            .as("objectives"),
+            when(col("diagrams_theory") > 0, col("diagrams_theory")).as("theory"))
+            .as("questions_with_diagrams"),
+          struct(when(col("solutions_objectives") > 0, col("solutions_objectives"))
+            .as("objectives"),
+            when(col("solutions_theory") > 0, col("solutions_theory")).as("theory"))
+            .as("questions_with_solutions"),
           col("subject"),
           concat(lit("https://kuulchat.com/bece/questions/"), col("subject"),
             lit("-"), col("year").cast("string"), lit("/")).as("source_url"),
@@ -144,7 +163,7 @@ object Restructure {
             coalesce(col("downloaded_images_count"), lit(0L)).as("downloaded_images_count"),
             coalesce(col("failed_downloads"), lit(0L)).as("failed_downloads"),
             coalesce(col("downloaded_image_map"),
-              map_from_entries(expr("array()").cast("array<struct<image_url:string,local_path:string>>")))
+              expr("array()").cast("array<struct<image_url:string,local_path:string>>"))
               .as("downloaded_image_map"))
             .as("image_download_stats")).as("spider_stats"),
         struct(
@@ -213,26 +232,32 @@ object Restructure {
       else if (n.startsWith("subpart_")) 2 else 3
     val dataCols = wide.columns.filterNot(Seq("subject", "year", "url", "pos").contains)
       .sortBy(n => (rank(n), n))
+    // row order: the reference iterates the restructured dict — ALL
+    // objectives rows first, then theory (restructure_questions.py:100-103)
     wide.select((Seq("subject", "year", "url", "pos") ++ dataCols).map(col): _*)
-      .orderBy(col("subject"), col("year"), col("url"), col("pos"))
+      .orderBy(col("subject"), col("year"),
+        when(col("type") === "objectives", 0).otherwise(1), col("url"), col("pos"))
   }
 
-  /** S11/A4: per-batch image-download report text (generate_reports.py:57-101),
-    * pinned clock.
+  /** S11/A4: per-batch image-download report text — byte-faithful to
+    * `generate_reports.py:57-101`: lines joined with "\n" and NO trailing
+    * newline, `.title()` semantics (capitalize after any non-letter, so
+    * "social-studies" → "Social-Studies"), zero-count diagram keys read as 0
+    * (`.get(..., 0)`), image lines in the map's insertion (download) order.
+    * Pinned clock.
     */
   def reports(spark: SparkSession, questions: DataFrame): DataFrame = {
     import spark.implicits._
-    val meta = metadata(questions)
+    metadata(questions)
       .select(col("subject"), col("year"), col("spider_stats"))
-    val manifest = imageManifest(questions)
-      .groupBy(col("subject"), col("year"))
-      .agg(sort_array(collect_list(struct(col("image_url"), col("local_path"))))
-        .as("images"))
-    meta.join(manifest, Seq("subject", "year"), "left")
       .map { r =>
         val subject = r.getAs[String]("subject")
         val year = r.getAs[Int]("year")
         val stats = r.getAs[org.apache.spark.sql.Row]("spider_stats")
+        def longOr0(row: org.apache.spark.sql.Row, name: String): Long = {
+          val i = row.fieldIndex(name)
+          if (row.isNullAt(i)) 0L else row.getLong(i)
+        }
         val total = stats.getAs[Long]("total_questions")
         val diag = stats.getAs[org.apache.spark.sql.Row]("questions_with_diagrams")
         val ids = stats.getAs[org.apache.spark.sql.Row]("image_download_stats")
@@ -241,27 +266,33 @@ object Restructure {
         val failed = ids.getAs[Long]("failed_downloads")
         val rate = if (expected > 0) downloaded.toDouble / expected * 100 else 0.0
         val images: scala.collection.Seq[org.apache.spark.sql.Row] =
-          Option(r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("images"))
-            .getOrElse(scala.collection.Seq.empty)
-        val title = subject.split("_").map(_.capitalize).mkString(" ")
-        val sb = new StringBuilder
-        sb ++= s"Image Download Report for $title $year\n"
-        sb ++= s"Generated on: Wednesday, January 01, 2025 00:00:00\n"
-        sb ++= "\nSummary:\n"
-        sb ++= s"  Total Questions: $total\n"
-        sb ++= "  Questions with Images:\n"
-        sb ++= s"    Objective Questions: ${diag.getAs[Long]("objectives")}\n"
-        sb ++= s"    Theory Questions: ${diag.getAs[Long]("theory")}\n"
-        sb ++= s"  Total Images Expected: $expected\n"
-        sb ++= s"  Successfully Downloaded: $downloaded\n"
-        sb ++= s"  Failed Downloads: $failed\n"
-        sb ++= f"  Success Rate: $rate%.2f%%\n"
-        sb ++= "  Images are organized in:\n    images/objective/\n    images/theory/\n"
-        sb ++= "\nDownloaded Images:\n"
+          Option(ids.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](
+            "downloaded_image_map")).getOrElse(scala.collection.Seq.empty)
+        val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+        lines += s"Image Download Report for ${PyText.pyTitle(subject.replace('_', ' '))} $year"
+        lines += "Generated on: Wednesday, January 01, 2025 00:00:00"
+        lines += "\nSummary:"
+        lines += s"  Total Questions: $total"
+        lines += "  Questions with Images:"
+        lines += s"    Objective Questions: ${longOr0(diag, "objectives")}"
+        lines += s"    Theory Questions: ${longOr0(diag, "theory")}"
+        lines += s"  Total Images Expected: $expected"
+        lines += s"  Successfully Downloaded: $downloaded"
+        lines += s"  Failed Downloads: $failed"
+        lines += f"  Success Rate: $rate%.2f%%"
+        lines += "  Images are organized in:"
+        lines += "    images/objective/"
+        lines += "    images/theory/"
+        lines += "\nDownloaded Images:"
         images.foreach { im =>
-          sb ++= s"  Downloaded: ${im.getAs[String]("image_url")} -> ${im.getAs[String]("local_path")}\n"
+          lines += s"  Downloaded: ${im.getAs[String]("image_url")} -> ${im.getAs[String]("local_path")}"
         }
-        (subject, year, sb.result())
+        if (failed > 0) {
+          lines += "\nFailed Downloads (Expected but not found locally):"
+          lines += s"  $failed images failed to download or were not found."
+          lines += "  (Detailed list of failed downloads not available in metadata for this version.)"
+        }
+        (subject, year, lines.mkString("\n"))
       }.toDF("subject", "year", "report")
   }
 

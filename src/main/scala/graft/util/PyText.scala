@@ -153,6 +153,22 @@ object PyText {
     sb.toString
   }
 
+  /** CPython `str.title()`: uppercase every cased char that follows a
+    * non-cased char, lowercase the rest — so "social-studies" →
+    * "Social-Studies" (a word boundary at '-', unlike capitalize-per-token).
+    */
+  def pyTitle(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var prevCased = false
+    s.foreach { c =>
+      if (c.isLetter) {
+        sb.append(if (prevCased) c.toLower else c.toUpper)
+        prevCased = true
+      } else { sb.append(c); prevCased = false }
+    }
+    sb.toString
+  }
+
   /** Escape raw text for embedding in generated HTML (inverse of one decode
     * level; used only by the test-data generator).
     */

@@ -65,6 +65,31 @@ class BatchSinkSpec extends AnyFunSuite {
     assert(scanned.forall(_.getAs[Int]("year") == 2015))
   }
 
+  test("metadata JSON artifact: year as string, zero-count type keys omitted (ADVICE r01)") {
+    // force a batch whose theory questions have no diagrams: the reference's
+    // defaultdict->dict conversion then omits the 'theory' key entirely
+    val q2 = questions.withColumn("diagrams",
+      when(col("qtype") === "theory",
+        expr("array()").cast("array<string>")).otherwise(col("diagrams")))
+    val out = Files.createTempDirectory("graft-meta-fmt").toString
+    val dirs = BatchSink.writeBatchOutputs(spark, q2, out)
+    val name = Paths.get(dirs.head).getFileName.toString
+    val raw = new String(Files.readAllBytes(
+      Paths.get(dirs.head, s"${name}_metadata.json")), StandardCharsets.UTF_8)
+    val year = name.substring(name.lastIndexOf('_') + 1)
+    assert(raw.contains("\"year\": \"" + year + "\""),
+      "metadata year must be a JSON string (the reference parses it from the CLI/dir name)")
+    val root = graft.util.Json.parse(raw).asInstanceOf[scala.collection.Map[String, Any]]
+    val diag = root("spider_stats").asInstanceOf[scala.collection.Map[String, Any]](
+      "questions_with_diagrams").asInstanceOf[scala.collection.Map[String, Any]]
+    assert(!diag.contains("theory"), "zero-count type key must be omitted")
+    assert(diag.contains("objectives"))
+    // downloaded_image_map renders as a JSON OBJECT in download order
+    val ids = root("spider_stats").asInstanceOf[scala.collection.Map[String, Any]](
+      "image_download_stats").asInstanceOf[scala.collection.Map[String, Any]]
+    assert(ids("downloaded_image_map").isInstanceOf[scala.collection.Map[_, _]])
+  }
+
   test("raw Scrapy feeds (S5/S6 literal): temp json/csv written, json scans back") {
     val out = Files.createTempDirectory("graft-rawfeed").toString
     val feeds = BatchSink.writeRawFeeds(spark, questions, out)

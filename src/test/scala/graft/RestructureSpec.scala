@@ -96,6 +96,33 @@ class RestructureSpec extends AnyFunSuite {
     assert(r.contains("Success Rate: 100.00%"))
   }
 
+  test("report text matches generate_reports.py byte conventions (ADVICE r01)") {
+    val rep = Restructure.reports(spark, questions)
+    val rows = rep.collect()
+    rows.foreach { r =>
+      val t = r.getAs[String]("report")
+      assert(!t.endsWith("\n"), "reference joins with \\n and no trailing newline")
+      assert(t.contains("\n\nSummary:\n") && t.contains("\n\nDownloaded Images:"))
+    }
+    // str.title() semantics: '-' is a word boundary
+    val ss = rows.find(_.getAs[String]("subject") == "social-studies")
+    assert(ss.isDefined)
+    assert(ss.get.getAs[String]("report")
+      .startsWith("Image Download Report for Social-Studies "))
+  }
+
+  test("flatten CSV rows: all objectives before theory within a batch (ADVICE r01)") {
+    val flat = Restructure.flattenCsv(questions)
+    // after an ordered collect, within each batch the type sequence must be
+    // non-decreasing in (objectives=0, theory=1)
+    val seqs = flat.select(col("subject"), col("year"), col("type")).collect()
+      .groupBy(r => (r.getString(0), r.getInt(1)))
+    seqs.values.foreach { rs =>
+      val ranks = rs.map(r => if (r.getString(2) == "objectives") 0 else 1).toSeq
+      assert(ranks == ranks.sorted, "theory row interleaved before an objectives row")
+    }
+  }
+
   test("metadata enrichment classifies all three outcomes (J2)") {
     val shots = Restructure.restructuredDocs(questions)
       .select(col("subject"), col("year"), col("page_screenshot")).cache()
