@@ -34,33 +34,43 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
 
-  /** Stage the amplified pages corpus once (untimed, shared by all runs). */
-  private def stagePages(sfDir: String, amplify: Int): String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-bench-pages").toString + "/pages"
+  /** Stage the amplified pages corpus once (untimed, shared by all runs):
+    * a plain parquet dir (ceiling probe) and the bucketed fetch-join table
+    * (url-hashed, one sorted file per bucket — the 10^10-scale join shape).
+    */
+  private def stagePages(sfDir: String, amplify: Int): (String, String) = {
+    val base = java.nio.file.Files.createTempDirectory("graft-bench-pages").toString
+    val dir = s"$base/pages"
+    val bucketDir = s"$base/pages_bucketed"
     val spark = session(32)
     graft.sources.PagesGen.pages(spark, sfDir, amplify).toDF()
       .write.mode("overwrite").parquet(dir)
+    graft.plans.BucketedTable.write(spark.read.parquet(dir), bucketDir,
+      "graft_pages_stage", "url", 64)
     spark.stop()
-    dir
+    (dir, bucketDir)
   }
 
   private def crawlAt(cpus: Int, sfDir: String, amplify: Int,
-                      pagesDir: String): (Double, Long, Long) = {
+                      bucketDir: String): (Double, Long, Long) = {
     val spark = session(cpus)
+    graft.plans.BucketedTable.register(spark, bucketDir, "graft_pages",
+      graft.plans.BucketedTable.PagesDdl, "url", 64)
     val store = java.nio.file.Files.createTempDirectory(s"graft-bench-$cpus").toString
     val cfg = CrawlEngine.Config(
       waveDurationMs = 4000000000L, // budget >= any per-host slice: no deferral tail in the timed region
       strategy = SeenSet.BloomExact,
       parseQuestions = true,
       amplify = amplify,
-      pagesPath = Some(pagesDir))
+      pagesTable = Some("graft_pages"))
     val t0 = System.nanoTime()
     val r = CrawlEngine.run(spark, sfDir, store, cfg)
     val sec = (System.nanoTime() - t0) / 1e9
@@ -122,7 +132,7 @@ object Bench {
 
     var extra = ""
     if (!skipScaling) {
-      val pagesDir = stagePages(sfDir, amplify)
+      val (pagesDir, bucketDir) = stagePages(sfDir, amplify)
       // warm the page cache + JIT with one extract pass, then measure the
       // ceiling probe and the crawl INTERLEAVED (8,32,8,32,…) so drift hits
       // both levels equally; medians over reps
@@ -132,7 +142,7 @@ object Bench {
       val ce32 = median(ceil.map(_._2._1))
       val np = ceil.last._2._2
       val crawls = (1 to reps).map(_ =>
-        (crawlAt(8, sfDir, amplify, pagesDir), crawlAt(32, sfDir, amplify, pagesDir)))
+        (crawlAt(8, sfDir, amplify, bucketDir), crawlAt(32, sfDir, amplify, bucketDir)))
       val thr8 = median(crawls.map(r => r._1._2 / r._1._1))
       val thr32 = median(crawls.map(r => r._2._2 / r._2._1))
       val digests = crawls.flatMap(r => Seq(r._1._3, r._2._3))

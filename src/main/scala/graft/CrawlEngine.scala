@@ -50,8 +50,19 @@ object CrawlEngine {
       maxWaves: Int = 64,
       parseQuestions: Boolean = true,
       amplify: Int = 1,
-      broadcastWaveLimit: Long = 400000L,
-      pagesPath: Option[String] = None)
+      // wave rows broadcast-able for the fetch join. ~100 B/row → ~400 MB at
+      // the limit: a large but legal explicit broadcast, and RADICALLY
+      // cheaper than the alternative (hash-exchanging every html row of the
+      // pages table each wave — the 100-TB scale-killer). Waves beyond this
+      // take the shuffle join. Irrelevant when `pagesTable` is set.
+      broadcastWaveLimit: Long = 4000000L,
+      pagesPath: Option[String] = None,
+      // a catalog-registered BUCKETED pages table (bucketBy url, sorted, one
+      // file per bucket — see Bench.stagePagesBucketed): the fetch join then
+      // needs NO pages exchange, NO pages sort, and NO wave broadcast — only
+      // the (small) wave side shuffles, into the bucket layout. This is the
+      // 10^10-scale join shape (the north star's Iceberg-table analog).
+      pagesTable: Option[String] = None)
 
   final case class Result(waves: Int, fetched: Long, deduped: Long,
                           errors: Long, seenCount: Long, seenDigest: Long)
@@ -101,6 +112,16 @@ object CrawlEngine {
     else fetchSlice.join(p, Seq("url"), "inner")
   }
 
+  /** Fetch join against a BUCKETED pages table: plain inner join — the
+    * planner gives sort-merge with zero exchange and zero sort on the pages
+    * side (bucketed + per-bucket sorted); only the wave shuffles, into the
+    * bucket count. No broadcast build (the per-wave ~150 MB wave broadcast
+    * was a measured serial constant on the driver).
+    */
+  private[graft] def joinWaveBucketed(fetchSlice: DataFrame, pages: DataFrame): DataFrame =
+    fetchSlice.join(pages.select(col("url"), col("warc_ts"), col("html")),
+      Seq("url"), "inner")
+
   /** Wave rows whose url had no page (status='error'): left-anti of the wave
     * against the fetched urls. The anti side is ≤ the wave (broadcast-sized,
     * and broadcasting the RIGHT side of a left-anti IS legal), so pages still
@@ -124,13 +145,19 @@ object CrawlEngine {
     // pages staged once (stand-in for the live web / WARC store); an
     // externally staged path can be shared across runs (Bench does this so
     // the timed region is pure crawl)
-    val pagesPath = cfg.pagesPath.getOrElse(s"$storeRoot/pages")
-    val pagesFs = new org.apache.hadoop.fs.Path(pagesPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!pagesFs.exists(new org.apache.hadoop.fs.Path(pagesPath, "_SUCCESS")))
-      PagesGen.pages(spark, sfDir, cfg.amplify).toDF()
-        .write.mode(SaveMode.Overwrite).parquet(pagesPath)
-    val pages = spark.read.parquet(pagesPath)
+    val pages = cfg.pagesTable match {
+      case Some(table) => spark.table(table)
+      case None =>
+        val pagesPath = cfg.pagesPath.getOrElse(s"$storeRoot/pages")
+        val pagesFs = new org.apache.hadoop.fs.Path(pagesPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!pagesFs.exists(new org.apache.hadoop.fs.Path(pagesPath, "_SUCCESS")))
+          PagesGen.pages(spark, sfDir, cfg.amplify).toDF()
+            .write.mode(SaveMode.Overwrite).parquet(pagesPath)
+        spark.read.parquet(pagesPath)
+    }
+    // scan fan-out is a property of the staged files — computed once
+    val pagesScanParts = pages.rdd.getNumPartitions
 
     val robots = Politeness.robotsFixture(spark).toDF()
 
@@ -207,13 +234,17 @@ object CrawlEngine {
           val fetchSlice = waveLog.filter(col("disp") === "fetch")
             .select((frontierCols :+ "host_rank").map(col): _*)
           val nFetch = counts.getOrElse("fetch", 0L)
-          val useBroadcast = nFetch <= cfg.broadcastWaveLimit
-          val joined0 = joinWavePages(fetchSlice, pages, useBroadcast)
-          // broadcast-join output inherits the pages scan's (few, large-file)
-          // partitions — repartition to spread the parse; the shuffle join is
-          // already evenly distributed, a second shuffle of html rows would
-          // just double the heaviest exchange
-          val joined = if (useBroadcast)
+          val useBroadcast = cfg.pagesTable.isEmpty && nFetch <= cfg.broadcastWaveLimit
+          val joined0 =
+            if (cfg.pagesTable.isDefined) joinWaveBucketed(fetchSlice, pages)
+            else joinWavePages(fetchSlice, pages, useBroadcast)
+          // broadcast-join output inherits the pages scan's partitions —
+          // spread the parse ONLY when the scan genuinely under-splits
+          // (small staged corpora): when the scan already fans out ≥ the
+          // core count, this repartition would shuffle every html byte of
+          // the wave for nothing (measured: the dominant non-scaling cost
+          // per wave at bench scale)
+          val joined = if (useBroadcast && pagesScanParts < spark.sparkContext.defaultParallelism)
             joined0.repartition(spark.sparkContext.defaultParallelism) else joined0
           val okParsed = joined
             .withColumn("status", lit("ok"))
@@ -234,8 +265,14 @@ object CrawlEngine {
           }
 
           // status='error' recovery: wave rows with no page (P6) — reads the
-          // ok urls from the cached parse, so pages are scanned exactly once
-          val errRows = errorRows(fetchSlice, okParsed.select(col("url")), useBroadcast)
+          // ok urls from the cached parse, so pages are scanned exactly once.
+          // Short-circuit: when every wave row found its page (the common
+          // case), skip the anti-join entirely — its build side is another
+          // wave-sized broadcast per wave otherwise.
+          val nOk = okParsed.count() // cached — cheap
+          val errRows = (if (nOk == nFetch)
+            fetchSlice.limit(0)
+          else errorRows(fetchSlice, okParsed.select(col("url")), useBroadcast))
             .withColumn("status", lit("error"))
 
           // ---- fetchlog: ordering trace + seen log + lineage source ----
@@ -264,8 +301,15 @@ object CrawlEngine {
           // never row data (round-1 collected every wave's url_hashes)
           phase("bloom", System.nanoTime()) {
             if (nFetch > 0) { // stat.bloomFilter returns null on empty input
-              val waveFilter = fetchSlice.stat.bloomFilter("url_hash",
-                cfg.bloomExpected, cfg.bloomFpp)
+              // cap the partial-filter fan-in: each partial is a full-size
+              // bit array (~5 MB at bloomExpected=2^22), so per-partition
+              // alloc+merge cost grows with partition count while putLong is
+              // ~free — measured ANTI-scaling 8→32 threads without the cap.
+              // ~1M inserts per partial keeps build parallel exactly when
+              // the wave is big enough to need it.
+              val parts = math.max(1L, math.min(16L, nFetch / 1000000L)).toInt
+              val waveFilter = fetchSlice.select("url_hash").coalesce(parts)
+                .stat.bloomFilter("url_hash", cfg.bloomExpected, cfg.bloomFpp)
               bloom.merge(waveFilter)
             }
             bloom.save(spark, s"$storeRoot/bloom", wave)
@@ -296,14 +340,15 @@ object CrawlEngine {
             .select(col("url"), col("url_hash"), col("host"), col("m.priority"),
               col("m.depth"), col("m.discovery_ts"), col("m.seed_subject"),
               col("m.seed_year"))
-            .cache()
+          // commit unconditionally — no emptiness-probe count() job: an empty
+          // frontier just makes the next iteration's candidate count 0, which
+          // ends the loop (one cheap empty pass instead of a per-wave job)
           phase("frontier", System.nanoTime()) {
-            if (nextFrontier.count() == 0) frontierT.commitEmpty(wave + 1)
-            else frontierT.commit(nextFrontier.select(frontierCols.map(col): _*),
+            frontierT.commit(nextFrontier.select(frontierCols.map(col): _*),
               wave + 1, append = false)
           }
 
-          nextFrontier.unpersist(); okParsed.unpersist(); waveLog.unpersist()
+          okParsed.unpersist(); waveLog.unpersist()
           if (timing) System.err.println(
             f"[wave $wave] cand=$nCandidates fetch=${counts.getOrElse("fetch", 0L)} " +
               f"sec=${(System.nanoTime() - tw0) / 1e9}%.2f")
@@ -312,20 +357,18 @@ object CrawlEngine {
       }
     }
 
-    // ---- result summary from the fetchlog ----
+    // ---- result summary from the fetchlog: ONE scan, one job ----
     if (fetchlogT.isEmpty) return Result(wave, 0, 0, 0, 0, 0)
-    val log = fetchlogT.read().cache()
-    val attempts = log.filter(col("status") =!= "summary")
-    val fetchedTotal = attempts.filter(col("status") === "ok").count()
-    val errTotal = attempts.filter(col("status") === "error").count()
-    val dedupTotal = {
-      val r = log.groupBy("wave").agg(first("deduped_in_wave").as("d"))
-        .agg(sum("d")).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
-    }
-    val (cnt, dig) = SeenSet.digest(attempts)
-    log.unpersist()
-    Result(wave, fetchedTotal, dedupTotal, errTotal, cnt, dig)
+    val r = fetchlogT.read().agg(
+      sum(when(col("status") === "ok", 1L).otherwise(0L)),
+      sum(when(col("status") === "error", 1L).otherwise(0L)),
+      // the per-wave summary row carries that wave's dedup count exactly once
+      sum(when(col("status") === "summary", col("deduped_in_wave")).otherwise(0L)),
+      sum(when(col("status") =!= "summary", 1L).otherwise(0L)),
+      expr("bit_xor(CASE WHEN status <> 'summary' THEN xxhash64(url) END)")
+    ).head()
+    def l(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+    Result(wave, l(0), l(2), l(1), l(3), l(4))
   }
 
   /** Per-partition lineage rows (north rule A8), derived from the

@@ -172,21 +172,32 @@ object Dedup {
 
   /** Blocked n-gram Jaccard near-dup: candidates blocked by (source, length
     * band) to avoid n²; exact token-set Jaccard, threshold-filtered.
+    * TWO offset length bands (⌊len/64⌋ and ⌊(len+32)/64⌋) so near-identical
+    * docs whose lengths straddle a 64-char band boundary still share a key
+    * (round 1 used a single band and silently missed those); any pair within
+    * 32 chars of each other is guaranteed a common band.
     */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.6,
                    idCol: String = "doc_id", textCol: String = "text",
                    blockCol: String = "source"): DataFrame = {
     val tok = docs.select(col(idCol), col(blockCol).as("block"),
-      (length(col(textCol)) / 64).cast("int").as("len_band"),
+      length(col(textCol)).as("len"),
       array_distinct(tokensCol(col(textCol))).as("tok")).localCheckpoint()
-    val l = tok.select(col("block"), col("len_band"), col(idCol).as("id_a"), col("tok").as("tok_a"))
-    val r = tok.select(col("block"), col("len_band"), col(idCol).as("id_b"), col("tok").as("tok_b"))
-    l.join(r, Seq("block", "len_band"))
+    val banded = tok.select(col(idCol), col("block"), col("tok"), posexplode(
+      array((col("len") / 64).cast("int"),
+        ((col("len") + 32) / 64).cast("int"))).as(Seq("band", "len_band")))
+    val l = banded.select(col("block"), col("band"), col("len_band"),
+      col(idCol).as("id_a"), col("tok").as("tok_a"))
+    val r = banded.select(col("block"), col("band"), col("len_band"),
+      col(idCol).as("id_b"), col("tok").as("tok_b"))
+    l.join(r, Seq("block", "band", "len_band"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("jaccard", round(
         size(array_intersect(col("tok_a"), col("tok_b"))).cast("double") /
           size(array_union(col("tok_a"), col("tok_b"))), 4))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      // a pair can match on both bands: dedup on the (small) output columns,
+      // not on the token arrays
+      .select(col("id_a"), col("id_b"), col("jaccard")).distinct()
   }
 }

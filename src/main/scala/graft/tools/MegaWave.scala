@@ -20,13 +20,16 @@ object MegaWave {
         .appName(s"megawave-$c")
         .config("spark.sql.shuffle.partitions", c.toString)
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.files.maxPartitionBytes", "16m")
-        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "true"))
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      .config("spark.ui.enabled", "false")
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       s
     }
+    val bucketed = sys.env.get("GRAFT_BUCKETED").contains("1")
+    val bucketDir = s"/tmp/graft-megapages-bucketed-$amplify/pages"
     // stage once (untimed; reused across invocations)
     if (!new java.io.File(s"$pagesDir/_SUCCESS").exists()) {
       val s = session(32)
@@ -34,11 +37,21 @@ object MegaWave {
         .write.mode("overwrite").parquet(pagesDir)
       s.stop()
     }
+    if (bucketed && !new java.io.File(s"$bucketDir/_SUCCESS").exists()) {
+      val s = session(32)
+      graft.plans.BucketedTable.write(s.read.parquet(pagesDir), bucketDir,
+        "graft_pages_stage", "url", 64)
+      s.stop()
+    }
     val spark = session(cpus)
+    if (bucketed)
+      graft.plans.BucketedTable.register(spark, bucketDir, "graft_pages",
+        graft.plans.BucketedTable.PagesDdl, "url", 64)
     val store = java.nio.file.Files.createTempDirectory(s"graft-mega-$cpus").toString
     val cfg = CrawlEngine.Config(waveDurationMs = 1000000000L,
       strategy = SeenSet.BloomExact, maxWaves = 1, amplify = amplify,
-      pagesPath = Some(pagesDir))
+      pagesPath = Some(pagesDir),
+      pagesTable = if (bucketed) Some("graft_pages") else None)
     val t0 = System.nanoTime()
     val r = CrawlEngine.run(spark, sfDir, store, cfg)
     val sec = (System.nanoTime() - t0) / 1e9

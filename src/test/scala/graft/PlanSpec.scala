@@ -91,4 +91,38 @@ class PlanSpec extends AnyFunSuite {
         s"error path shuffled on url:\n$errPlan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("bucketed fetch join: pages side has zero exchange and zero sort") {
+    import graft.plans.BucketedTable
+    import graft.sources.PagesGen
+    val store = java.nio.file.Files.createTempDirectory("graft-bucket-plan").toString
+    val pagesDf = PagesGen.pages(spark, "/root/testdata/sf0.001").toDF()
+    BucketedTable.write(pagesDf, s"$store/pages_bucketed", "graft_pages_plan_stage",
+      "url", 8)
+    BucketedTable.register(spark, s"$store/pages_bucketed", "graft_pages_plan",
+      BucketedTable.PagesDdl, "url", 8)
+    val wave = CrawlEngine.seedFrontier(spark, "/root/testdata/sf0.001")
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // sorted bucket scans are gated off by default since 3.0 (planning-time
+    // file listing cost); the engine's bench sessions turn this on
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try {
+      val full = planOf(CrawlEngine.joinWaveBucketed(wave, spark.table("graft_pages_plan"))
+        .select(col("url"), col("warc_ts")))
+      // AQE renders final + initial plans — assert on the final one only
+      val plan = full.split("== Initial Plan ==").head
+      assert(plan.contains("SortMergeJoin"), plan)
+      // exactly ONE url exchange and ONE sort — both on the wave side: the
+      // bucketed+sorted pages scan provides its distribution and order free
+      assert("Exchange hashpartitioning\\(url".r.findAllIn(plan).size == 1,
+        s"pages side exchanged:\n$plan")
+      assert("Sort \\[url".r.findAllIn(plan).size == 1,
+        s"pages side re-sorted:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scan not bucketed:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+    }
+  }
 }

@@ -64,6 +64,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(b1 == b2)
   }
 
+  test("ngramJaccard finds near-identical docs straddling a 64-char length band") {
+    import spark.implicits._
+    // lengths 59 and 64: ⌊len/64⌋ = 0 vs 1 (round 1's single band missed
+    // this pair); the +32-offset band is 1 for both
+    val docA = (0 until 15).map(i => f"a$i%02d").mkString(" ") // 59 chars
+    val docB = docA + " zzzz" // 64 chars
+    assert(docA.length == 59 && docB.length == 64)
+    val df = Seq((1L, docA, "s"), (2L, docB, "s"), (3L, "unrelated text", "s"))
+      .toDF("doc_id", "text", "source")
+    val pairs = Dedup.ngramJaccard(df, threshold = 0.6).collect()
+    assert(pairs.length == 1, s"expected exactly the straddling pair, got ${pairs.toSeq}")
+    assert(pairs.head.getAs[Long]("id_a") == 1L && pairs.head.getAs[Long]("id_b") == 2L)
+  }
+
   // --- SimHash 4-band recall -------------------------------------------------
 
   private def simCorpus = {
