@@ -214,6 +214,17 @@ object Queries {
       s"""$FRONTIER_CTE SELECT count(*) AS seen_count,
          |        CAST(sum(chain * 4 + page_idx) AS BIGINT) AS seen_checksum
          | FROM frontier WHERE page_idx < 2""".stripMargin,
+    // c1: one politeness wave over the seed frontier — budget = 60000 ms /
+    // crawl_delay (h0: 2000 → 30, default 1000 → 60), h13 robots-blocked,
+    // rank ordered by (priority, depth, url) (discovery_ts constant at seed)
+    "c1_politeness_wave" ->
+      s"""$FRONTIER_CTE SELECT host, host_rank, url FROM (
+         |   SELECT host, url,
+         |          row_number() OVER (PARTITION BY host
+         |            ORDER BY priority, depth, url) AS host_rank,
+         |          CASE WHEN host_id = 0 THEN 30 ELSE 60 END AS budget
+         |   FROM frontier WHERE page_idx = 0 AND host_id <> 13)
+         | WHERE host_rank <= budget""".stripMargin,
     "x16_subject_parse" ->
       s"""$FRONTIER_CTE SELECT year, trim(s) AS subject FROM (
          |   SELECT year, unnest(string_split(subjects_arg, ',')) AS s FROM (

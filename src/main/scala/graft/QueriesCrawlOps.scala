@@ -74,11 +74,6 @@ object QueriesCrawlOps {
     "t4_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprints(t(s, d, "documents"))),
 
-    // language guess incl. argmax (scores slice is oracled as t3)
-    "t5_langid_guess" -> ((s, d) =>
-      TextAnalysis.langIdFeatures(t(s, d, "documents"))
-        .groupBy(col("lang_guess")).agg(count(lit(1)).as("n_docs"))),
-
     // multimodal decode-stub pipeline: binary payloads → features → summary
     "mm1_multimodal_features" -> ((s, d) => Multimodal.featureSummary(s, d)),
 

@@ -26,11 +26,17 @@ object QueriesText {
     "t2_quality_features" -> ((s, d) =>
       TextAnalysis.qualityFeatures(t(s, d, "documents"))),
 
-    // language-ID marker scores (portable slice; argmax guess is rows-only)
+    // language-ID marker scores (portable slice)
     "t3_langid_scores" -> ((s, d) =>
       TextAnalysis.langIdFeatures(t(s, d, "documents"))
         .select(col("doc_id"), col("score_en"), col("score_de"),
           col("score_fr"), col("score_es"))),
+
+    // language guess: argmax over the marker scores (Spark: greatest over
+    // (score, lang) structs; DuckDB twin: list_sort of the same structs)
+    "t5_langid_guess" -> ((s, d) =>
+      TextAnalysis.langIdFeatures(t(s, d, "documents"))
+        .groupBy(col("lang_guess")).agg(count(lit(1)).as("n_docs"))),
 
     // brute-force cosine top-3 neighbors for probe vectors
     "n1_knn_bruteforce" -> ((s, d) => {
@@ -79,6 +85,25 @@ object QueriesText {
         |  (length(text) - length(replace(text, ' el ', ''))) // 4
         |    + (length(text) - length(replace(text, ' y ', ''))) // 3 AS score_es
         |FROM documents""".stripMargin,
+    "t5_langid_guess" ->
+      """WITH scores AS (
+        |  SELECT doc_id,
+        |    (length(text) - length(replace(text, ' the ', ''))) // 5
+        |      + (length(text) - length(replace(text, ' and ', ''))) // 5 AS score_en,
+        |    (length(text) - length(replace(text, ' der ', ''))) // 5
+        |      + (length(text) - length(replace(text, ' und ', ''))) // 5 AS score_de,
+        |    (length(text) - length(replace(text, ' le ', ''))) // 4
+        |      + (length(text) - length(replace(text, ' et ', ''))) // 4 AS score_fr,
+        |    (length(text) - length(replace(text, ' el ', ''))) // 4
+        |      + (length(text) - length(replace(text, ' y ', ''))) // 3 AS score_es
+        |  FROM documents)
+        |SELECT lang_guess, count(*) AS n_docs FROM (
+        |  SELECT list_sort([
+        |      {'s': score_en, 'l': 'en'}, {'s': score_de, 'l': 'de'},
+        |      {'s': score_fr, 'l': 'fr'}, {'s': score_es, 'l': 'es'}])[-1].l
+        |    AS lang_guess
+        |  FROM scores)
+        |GROUP BY 1""".stripMargin,
     "n1_knn_bruteforce" ->
       """SELECT query_id, rnk, neighbor_id, cos FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -68,10 +68,39 @@ object TextAnalysis {
         col("lang_guess"): _*)
   }
 
-  /** Polynomial rolling-hash fingerprint over tokens (mod 2^61-1 kept inside
-    * Long range — ANSI-safe).
+  /** Polynomial rolling-hash fingerprint over tokens, compiled: ONE tight
+    * loop per row instead of an interpreted `aggregate` lambda step per
+    * token (the same argument that justified the MinHash/SimHash UDFs —
+    * Spark evaluates higher-order-function lambdas interpreted). Hash values
+    * use Spark's own xxhash64 (seed 42), so outputs are bit-identical to the
+    * HOF formulation below.
     */
   def fingerprint(text: Column): Column = {
+    val fpUdf = udf((s: String) => {
+      val M = 1000000007L
+      var acc = 0L
+      var start = 0
+      var i = 0
+      val n = s.length
+      while (i <= n) {
+        if (i == n || s.charAt(i) == ' ') {
+          val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+            org.apache.spark.unsafe.types.UTF8String.fromString(s.substring(start, i)),
+            org.apache.spark.sql.types.StringType, 42L)
+          acc = (acc * 131 + java.lang.Math.floorMod(h, M)) % M
+          start = i + 1
+        }
+        i += 1
+      }
+      acc
+    })
+    fpUdf(text)
+  }
+
+  /** Interpreted built-ins formulation — kept as the semantic cross-check
+    * (TextAnalysisSpec asserts bit-parity with [[fingerprint]]).
+    */
+  def fingerprintHof(text: Column): Column = {
     val M = 1000000007L
     expr(s"""aggregate(split(${text.toString}, ' '), cast(0 AS bigint),
             |  (acc, t) -> (acc * 131 + pmod(xxhash64(t), $M)) % $M)""".stripMargin)
