@@ -56,10 +56,6 @@ object QueriesCrawlOps {
     "m2_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 6)),
 
-    // blocked n-gram Jaccard pairs
-    "d2_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccard(t(s, d, "documents"), threshold = 0.3)),
-
     // LSH-bucketed approximate nearest neighbors
     "n2_ann_lsh" -> ((s, d) => {
       val e = t(s, d, "embeddings")

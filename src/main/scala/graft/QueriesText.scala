@@ -17,6 +17,10 @@ object QueriesText {
     // exact dedup: canonical id + copy count per distinct text
     "d1_exact_dedup" -> ((s, d) => Dedup.exact(t(s, d, "documents"))),
 
+    // blocked n-gram Jaccard near-dup pairs (two offset length bands)
+    "d2_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccard(t(s, d, "documents"), threshold = 0.3)),
+
     // token counting (whitespace)
     "t1_token_count" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
@@ -58,6 +62,24 @@ object QueriesText {
     "d1_exact_dedup" ->
       """SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+    "d2_ngram_jaccard" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, length(text) AS len,
+        |         list_distinct(string_split(lower(text), ' ')) AS tok
+        |  FROM documents),
+        |banded AS (
+        |  SELECT doc_id, source, tok, 0 AS band, len // 64 AS len_band FROM tok
+        |  UNION ALL
+        |  SELECT doc_id, source, tok, 1 AS band, (len + 32) // 64 AS len_band FROM tok)
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.tok, b.tok)) * 1.0 /
+        |        len(list_distinct(list_concat(a.tok, b.tok))), 4) AS jaccard
+        |FROM banded a JOIN banded b
+        |  ON a.source = b.source AND a.band = b.band AND a.len_band = b.len_band
+        |     AND a.doc_id < b.doc_id
+        |WHERE round(len(list_intersect(a.tok, b.tok)) * 1.0 /
+        |            len(list_distinct(list_concat(a.tok, b.tok))), 4) >= 0.3"""
+        .stripMargin,
     "t1_token_count" ->
       "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents",
     "t2_quality_features" ->
