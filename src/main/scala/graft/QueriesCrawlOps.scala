@@ -73,6 +73,15 @@ object QueriesCrawlOps {
     // multimodal decode-stub pipeline: binary payloads → features → summary
     "mm1_multimodal_features" -> ((s, d) => Multimodal.featureSummary(s, d)),
 
+    // multimodal frame sampling: per-video frame rows → per-doc counts,
+    // reconciled against the decoder's frame count downstream
+    "mm2_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(Multimodal.assets(s, d)).toDF()
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"),
+          sum(col("n_bytes")).as("frame_bytes"))
+        .agg(count(lit(1)).as("n_videos"), sum(col("n_frames")).as("total_frames"),
+          sum(col("frame_bytes")).as("total_frame_bytes"))),
+
     // A1/S8: restructured per-batch docs (objectives/theory arrays)
     "r1_restructured_docs" -> ((s, d) =>
       Restructure.restructuredDocs(parsedQuestions(s, d))

@@ -61,6 +61,50 @@ object Multimodal {
     }
   }
 
+  final case class ResizedAsset(doc_id: Long, kind: String, width: Int,
+                                height: Int, payload: Array[Byte])
+
+  /** Resize over partition batches — same per-partition-init contract as
+    * [[extractFeatures]]. STUB transform: deterministic payload truncation
+    * proportional to the target pixel count (a real implementation hands the
+    * bytes to the codec's scaler); dims and batch shape are the real
+    * contract.
+    */
+  def resize(assets: Dataset[Asset], w: Int, h: Int): Dataset[ResizedAsset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      // real scaler initializes here once per partition
+      it.map { a =>
+        val keep = math.max(16, math.min(a.payload.length, w * h / 64))
+        ResizedAsset(a.doc_id, a.kind, w, h, a.payload.take(keep))
+      }
+    }
+  }
+
+  final case class Frame(doc_id: Long, frame_idx: Int, ts_ms: Long,
+                         n_bytes: Int, payload: Array[Byte])
+
+  /** Frame sampling for video assets: one row per sampled frame at
+    * `everyMs` spacing — iterator flatMap inside mapPartitions, so a long
+    * video never materializes all frames at once. Frame count matches
+    * [[extractFeatures]]'s `frames` (STUB: derived from payload length;
+    * payload slice is the deterministic fake frame).
+    */
+  def sampleFrames(assets: Dataset[Asset], everyMs: Long = 1000L): Dataset[Frame] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "video").mapPartitions { it =>
+      it.flatMap { a =>
+        val n = 1 + (a.payload.length % 32) // = decodeStub's frames
+        val len = math.max(a.payload.length, 1)
+        (0 until n).iterator.map { i =>
+          val start = (i * 4) % len
+          val bytes = a.payload.slice(start, math.min(start + 16, a.payload.length))
+          Frame(a.doc_id, i, i * everyMs, bytes.length, bytes)
+        }
+      }
+    }
+  }
+
   /** Feature summary per kind — the downstream relational shape. */
   def featureSummary(spark: SparkSession, sfDir: String): DataFrame = {
     val f = extractFeatures(assets(spark, sfDir)).toDF()
