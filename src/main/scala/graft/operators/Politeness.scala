@@ -50,6 +50,11 @@ object Politeness {
     */
   def disposition(flagged: DataFrame, robots: DataFrame, waveDurationMs: Long,
                   saltBuckets: Int = 16): DataFrame = {
+    // localCheckpoint: four disposition branches (closed/under/over ×2 phases)
+    // would otherwise each re-evaluate the whole upstream dedup-flag subtree
+    // (scan + bloom UDF + confirm join) — measured ~4 recomputations of a
+    // 1M-row wave inside the rank+count phase. One materialization, lineage
+    // truncated, branches read blocks.
     val joined = flagged.join(
       broadcast(robots.select(col("host"), col("allowed"), col("crawl_delay_ms"))),
       Seq("host"), "left")
@@ -57,6 +62,7 @@ object Politeness {
       .withColumn("crawl_delay_ms", coalesce(col("crawl_delay_ms"), lit(2000L)))
       .withColumn("budget",
         greatest(lit(1L), lit(waveDurationMs) / col("crawl_delay_ms")).cast("long"))
+      .localCheckpoint()
 
     val closed = joined.filter(col("is_seen") || !col("allowed"))
       .withColumn("disp", when(col("is_seen"), lit("seen")).otherwise(lit("blocked")))
