@@ -66,6 +66,12 @@ object QueriesCrawlOps {
     "m4_embedding_neardup_lsh" -> ((s, d) =>
       Similarity.cosineNearDupLsh(t(s, d, "embeddings"), 0.45)),
 
+    // IVF-cell approximate nearest neighbors (coarse-quantizer scale path)
+    "n3_ann_ivf" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.ivfTopK(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5), 3)
+    }),
+
     // document fingerprints (rolling hash)
     "t4_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprints(t(s, d, "documents"))),

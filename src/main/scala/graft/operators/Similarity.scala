@@ -118,6 +118,59 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
   }
 
+  /** IVF (inverted-file) approximate top-k — the other standard ANN scale
+    * path beside LSH: a coarse quantizer of `nCells` deterministic centroids
+    * (seeded pseudo-random directions; a trained k-means codebook would slot
+    * into the same shape), corpus rows assigned to their nearest cell ONCE
+    * (at scale: a materialized index column), queries probing only their
+    * `nProbe` nearest cells. Quadratic term confined to the probed cells;
+    * join key is the tiny cell id; the centroid matrix lives in the UDF
+    * closure (KBs).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nCells: Int = 16,
+              nProbe: Int = 4, dims: Int = 64,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids: Array[Array[Double]] =
+      Array.tabulate(nCells, dims)((c, d) => hpComponent(1 << 16 | c, 0, d))
+    def cellScores(v: Seq[Float]): Array[Double] = {
+      val out = new Array[Double](centroids.length)
+      var c = 0
+      while (c < centroids.length) {
+        val row = centroids(c)
+        val n = math.min(v.length, row.length)
+        var dot = 0.0
+        var norm = 0.0
+        var i = 0
+        while (i < n) { dot += v(i).toDouble * row(i); norm += v(i).toDouble * v(i); i += 1 }
+        out(c) = if (norm > 0) dot / math.sqrt(norm) else 0.0
+        c += 1
+      }
+      out
+    }
+    val cellUdf = udf((v: Seq[Float]) => {
+      val s = cellScores(v)
+      var best = 0
+      var c = 1
+      while (c < s.length) { if (s(c) > s(best)) best = c; c += 1 }
+      best
+    })
+    val np = nProbe
+    val probeUdf = udf((v: Seq[Float]) =>
+      cellScores(v).zipWithIndex.sortBy { case (s, i) => (-s, i) }
+        .take(np).map(_._2))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      cellUdf(col(vecCol)).as("cell"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(probeUdf(col(vecCol))).as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("cell"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
+  }
+
   /** Embedding near-dup at scale: block by LSH bucket (no label needed) —
     * multi-table union for recall, exact cosine verify, quadratic term
     * confined to within-bucket. This is the 100-TB path; [[cosineNearDup]]

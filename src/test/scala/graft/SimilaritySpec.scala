@@ -54,6 +54,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ann.getAs[Double]("cos") == bf.getAs[Double]("cos"))
   }
 
+  test("ivfTopK ranks the near-dup first (coarse-quantizer scale path)") {
+    val queries = vecsDf.filter(col("vec_id") === 0L)
+    val corpus = vecsDf.filter(col("vec_id") > 0L)
+    // the near-identical vector lands in (or near) the query's cell; with
+    // nProbe covering the cell neighborhood, rank 1 must match brute force
+    val ivf = Similarity.ivfTopK(queries, corpus, 1, nCells = 8, nProbe = 4)
+      .collect().head
+    assert(ivf.getAs[Long]("neighbor_id") == 100L)
+    assert(ivf.getAs[Double]("cos") >= 0.99)
+  }
+
   test("lshBucket is deterministic across evaluations") {
     val b1 = vecsDf.select(col("vec_id"),
       Similarity.lshBucket(col("embedding"), 0, 8, 64).as("b")).collect()
