@@ -30,10 +30,13 @@ import graft.sources.PagesGen
   * and digests at any parallelism (CrawlEngineSpec asserts local[8]-profile
   * vs local[32]-profile equality; Bench runs the real two-master protocol).
   *
-  * Scale notes (100 TB / 10^10 urls): the per-wave frontier slice is ≪ pages,
-  * so the fetch join broadcasts the wave and streams pages — zero shuffle of
-  * the big table; parse is spread via an explicit wave repartition (page rows
-  * are small, file-layout partitioning under-splits). Dedup shuffles only
+  * Scale notes (100 TB / 10^10 urls): pages NEVER shuffle. Preferred shape:
+  * a BUCKETED pages table (cfg.pagesTable, plans/BucketedTable) — sort-merge
+  * fetch join with zero exchange/sort on the pages side, only the small wave
+  * shuffles into the bucket layout. Fallback: broadcast the wave (inner join
+  * + left-anti error recovery — build-left on LEFT OUTER is illegal and
+  * silently drops the hint). The bloom tier is built distributed (executors
+  * fold partial filters; driver sees only the sketch). Dedup shuffles only
   * bloom-suspects. Politeness ranks via salted two-phase top-k (hot-host
   * skew, P8). All state tables are wave-partitioned for pruning.
   */
