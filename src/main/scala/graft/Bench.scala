@@ -59,17 +59,29 @@ object Bench {
     (dir, bucketDir)
   }
 
+  /** One timed crawl at `cpus` threads with the given seen-set tier.
+    * BloomCuckoo is the PRIMARY measured tier (VERDICT r02 #1): it is the
+    * configuration the 10^10 scale story claims — O(1)-memory shard-cogroup
+    * confirm instead of BloomExact's per-wave full-fetchlog scan. BloomExact
+    * runs once alongside as the digest cross-check (and for the tier-cost
+    * comparison in BASELINE.md).
+    */
   private def crawlAt(cpus: Int, sfDir: String, amplify: Int,
-                      bucketDir: String): (Double, Long, Long) = {
+                      bucketDir: String,
+                      strategy: SeenSet.Strategy): (Double, Long, Long) = {
     val spark = session(cpus)
     graft.plans.BucketedTable.register(spark, bucketDir, "graft_pages",
       graft.plans.BucketedTable.PagesDdl, "url", 64)
     val store = java.nio.file.Files.createTempDirectory(s"graft-bench-$cpus").toString
     val cfg = CrawlEngine.Config(
       waveDurationMs = 4000000000L, // budget >= any per-host slice: no deferral tail in the timed region
-      strategy = SeenSet.BloomExact,
+      strategy = strategy,
       parseQuestions = true,
       amplify = amplify,
+      // sized for the amplified url count (sizing policy: expected >=
+      // projected inserts; saturation would bypass the pre-filter and the
+      // bench would measure a different configuration)
+      bloomExpected = math.max(1L << 22, amplify.toLong * 8192L),
       pagesTable = Some("graft_pages"))
     val t0 = System.nanoTime()
     val r = CrawlEngine.run(spark, sfDir, store, cfg)
@@ -141,22 +153,32 @@ object Bench {
       val ce8 = median(ceil.map(_._1._1))
       val ce32 = median(ceil.map(_._2._1))
       val np = ceil.last._2._2
+      // PRIMARY tier: BloomCuckoo (the 10^10 configuration), interleaved 8/32
       val crawls = (1 to reps).map(_ =>
-        (crawlAt(8, sfDir, amplify, bucketDir), crawlAt(32, sfDir, amplify, bucketDir)))
+        (crawlAt(8, sfDir, amplify, bucketDir, SeenSet.BloomCuckoo),
+          crawlAt(32, sfDir, amplify, bucketDir, SeenSet.BloomCuckoo)))
+      // tier cross-check: ONE BloomExact run at 32 — digest must equal the
+      // cuckoo tier's (same crawl, different confirm machinery)
+      val (exSec, exUrls, exDigest) =
+        crawlAt(32, sfDir, amplify, bucketDir, SeenSet.BloomExact)
       val thr8 = median(crawls.map(r => r._1._2 / r._1._1))
       val thr32 = median(crawls.map(r => r._2._2 / r._2._1))
       val digests = crawls.flatMap(r => Seq(r._1._3, r._2._3))
       val crawlSpeedup = thr32 / thr8
       val ceilingSpeedup = ce8 / ce32
       def arr(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
-      extra = f""","crawl_urls_per_sec_8":${round2(thr8)},"crawl_urls_per_sec_32":${round2(thr32)},"scaling_efficiency":${round3(crawlSpeedup / 4.0)},"cpu_ceiling_speedup_8_to_32":${round3(ceilingSpeedup)},"scaling_efficiency_vs_ceiling":${round3(crawlSpeedup / ceilingSpeedup)},"extract_pages_per_sec_32":${round2(np / ce32)},"scaling_digests_equal":${digests.distinct.size == 1},"reps":$reps,"crawl_secs_8":${arr(crawls.map(_._1._1))},"crawl_secs_32":${arr(crawls.map(_._2._1))},"ceiling_secs_8":${arr(ceil.map(_._1._1))},"ceiling_secs_32":${arr(ceil.map(_._2._1))},"amplify":$amplify"""
+      extra = f""","seen_tier":"bloom_cuckoo","crawl_urls_per_sec_8":${round2(thr8)},"crawl_urls_per_sec_32":${round2(thr32)},"scaling_efficiency":${round3(crawlSpeedup / 4.0)},"cpu_ceiling_speedup_8_to_32":${round3(ceilingSpeedup)},"scaling_efficiency_vs_ceiling":${round3(crawlSpeedup / ceilingSpeedup)},"extract_pages_per_sec_32":${round2(np / ce32)},"scaling_digests_equal":${digests.distinct.size == 1},"bloomexact_urls_per_sec_32":${round2(exUrls / exSec)},"tier_digests_equal":${(digests :+ exDigest).distinct.size == 1},"reps":$reps,"crawl_secs_8":${arr(crawls.map(_._1._1))},"crawl_secs_32":${arr(crawls.map(_._2._1))},"bloomexact_secs_32":[${round2(exSec)}],"ceiling_secs_8":${arr(ceil.map(_._1._1))},"ceiling_secs_32":${arr(ceil.map(_._2._1))},"amplify":$amplify"""
     }
 
     val qs = results.map { case (k, v, _) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    // sink round-trips (write + rescan a real artifact tree) reported apart
+    // from scan queries: their time is file I/O by design, not plan cost
+    val sinks = QueriesCrawlOps.sinkQueries.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_ok":${results.count(_._3)},"queries_failed":$failed,"sf":"$sfDir"$extra}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_ok":${results.count(_._3)},"queries_failed":$failed,"sink_queries":$sinks,"sf":"$sfDir"$extra}""")
   }
 }

@@ -58,6 +58,12 @@ object CrawlEngine {
       // cheaper than the alternative (hash-exchanging every html row of the
       // pages table each wave — the 100-TB scale-killer). Waves beyond this
       // take the shuffle join. Irrelevant when `pagesTable` is set.
+      // DRIVER-MEMORY CONTRACT (ADVICE r02): a wave at the limit holds
+      // ~400 MB on the driver, and the error-recovery anti-join can add a
+      // second ≤wave-sized broadcast in the same wave — budget ≥ 2× the
+      // limit's bytes of driver heap headroom. build.sbt pins -Xmx16g
+      // (SPARK_DRIVER_MEM overrides); lower heaps should lower this limit
+      // proportionally (rows × ~100 B × 2 ≤ heap/4 is a safe rule).
       broadcastWaveLimit: Long = 4000000L,
       pagesPath: Option[String] = None,
       // a catalog-registered BUCKETED pages table (bucketBy url, sorted, one
@@ -65,6 +71,11 @@ object CrawlEngine {
       // needs NO pages exchange, NO pages sort, and NO wave broadcast — only
       // the (small) wave side shuffles, into the bucket layout. This is the
       // 10^10-scale join shape (the north star's Iceberg-table analog).
+      // TABLE CONTRACT: urls must be UNIQUE (one page per url) — the fetch
+      // join is INNER on url, so a duplicate url would double-fetch AND can
+      // defeat the nOk==nFetch error-recovery short-circuit (ADVICE r02).
+      // BucketedTable.write asserts this at staging time; rows with NULL
+      // html are tolerated (routed to status='error', never parsed).
       pagesTable: Option[String] = None)
 
   final case class Result(waves: Int, fetched: Long, deduped: Long,
@@ -110,7 +121,11 @@ object CrawlEngine {
     */
   private[graft] def joinWavePages(fetchSlice: DataFrame, pages: DataFrame,
                                    useBroadcast: Boolean): DataFrame = {
+    // html IS NULL rows (legal for external tables) are excluded here so the
+    // parse UDF never sees a null payload; their urls then fall out of the
+    // ok-set and are recovered as status='error' by errorRows (ADVICE r02)
     val p = pages.select(col("url"), col("warc_ts"), col("html"))
+      .filter(col("html").isNotNull)
     if (useBroadcast) p.join(broadcast(fetchSlice), Seq("url"), "inner")
     else fetchSlice.join(p, Seq("url"), "inner")
   }
@@ -122,8 +137,8 @@ object CrawlEngine {
     * was a measured serial constant on the driver).
     */
   private[graft] def joinWaveBucketed(fetchSlice: DataFrame, pages: DataFrame): DataFrame =
-    fetchSlice.join(pages.select(col("url"), col("warc_ts"), col("html")),
-      Seq("url"), "inner")
+    fetchSlice.join(pages.select(col("url"), col("warc_ts"), col("html"))
+      .filter(col("html").isNotNull), Seq("url"), "inner")
 
   /** Wave rows whose url had no page (status='error'): left-anti of the wave
     * against the fetched urls. The anti side is ≤ the wave (broadcast-sized,
@@ -187,6 +202,13 @@ object CrawlEngine {
     val timing = sys.env.get("GRAFT_WAVE_TIMING").contains("1")
     var wave = startWave
     var done = false
+    var warnedSaturation = false
+    // driver threads for concurrent state-commit jobs (see the commit block
+    // below); daemon so a crashed run never hangs the JVM on this pool
+    val commitPool = java.util.concurrent.Executors.newFixedThreadPool(4,
+      (r: Runnable) => { val t = new Thread(r, "graft-commit"); t.setDaemon(true); t })
+    val commitEc = scala.concurrent.ExecutionContext.fromExecutorService(commitPool)
+    try {
     while (!done && wave < cfg.maxWaves) {
       val tw0 = System.nanoTime()
       if (frontierT.isEmpty) { done = true }
@@ -198,17 +220,36 @@ object CrawlEngine {
         def seenFlagExact(df: DataFrame): DataFrame =
           df.join(seenLog(wave).withColumn("is_seen", lit(true)), Seq("url_hash"), "left")
             .withColumn("is_seen", coalesce(col("is_seen"), lit(false)))
+        // saturation bypass (SeenSet.Bloom sizing policy): past `expected`
+        // inserts the pre-filter's FP rate makes every candidate a suspect
+        // anyway — route ALL candidates straight to the confirm tier (still
+        // exact) instead of paying a useless broadcast+udf pass.
+        if (bloom.saturated && cfg.strategy != SeenSet.ExactAnti && !warnedSaturation) {
+          warnedSaturation = true
+          System.err.println(s"[graft] WARN bloom pre-filter SATURATED " +
+            s"(inserted=${bloom.inserted} > expected=${bloom.expected}): " +
+            "bypassed from here on — confirm tier carries full dedup " +
+            "(correct, but size bloomExpected >= projected inserts)")
+        }
+        def cuckooFlag(df: DataFrame): DataFrame =
+          SeenSet.cuckooFlagged(spark, df, cuckooT, cfg.cuckooShards,
+            asOfWaveExclusive = wave)
         val flagged: DataFrame = cfg.strategy match {
           case SeenSet.ExactAnti => seenFlagExact(cands)
           case SeenSet.BloomExact =>
-            val (defNew, suspects) = SeenSet.bloomSplit(spark, cands, bloom)
-            defNew.withColumn("is_seen", lit(false))
-              .unionByName(seenFlagExact(suspects))
+            if (bloom.saturated) seenFlagExact(cands)
+            else {
+              val (defNew, suspects) = SeenSet.bloomSplit(spark, cands, bloom)
+              defNew.withColumn("is_seen", lit(false))
+                .unionByName(seenFlagExact(suspects))
+            }
           case SeenSet.BloomCuckoo =>
-            val (defNew, suspects) = SeenSet.bloomSplit(spark, cands, bloom)
-            defNew.withColumn("is_seen", lit(false))
-              .unionByName(SeenSet.cuckooFlagged(spark, suspects, cuckooT,
-                cfg.cuckooShards, asOfWaveExclusive = wave))
+            if (bloom.saturated) cuckooFlag(cands)
+            else {
+              val (defNew, suspects) = SeenSet.bloomSplit(spark, cands, bloom)
+              defNew.withColumn("is_seen", lit(false))
+                .unionByName(cuckooFlag(suspects))
+            }
         }
 
         // ---- politeness (J6, O6, P1-P3): rank open rows, tag dispositions ----
@@ -255,30 +296,23 @@ object CrawlEngine {
             .drop("html")
             .cache()
 
-          if (cfg.parseQuestions) phase("parse+questions", System.nanoTime()) {
-            questionsT.commit(okParsed
-              .select(col("url"), col("seed_subject"), col("seed_year"),
-                posexplode_outer(col("p.questions")).as(Seq("pos", "q")))
-              .filter(col("q").isNotNull)
-              .select(col("url"), col("seed_subject"), col("seed_year"), col("pos"),
-                col("q.section"), col("q.qtype"), col("q.number"), col("q.question"),
-                col("q.options"), col("q.subparts"), col("q.diagrams"),
-                col("q.answer"), col("q.solution")),
-              wave)
-          }
+          // materialize the parse ONCE: count() builds the okParsed cache
+          // (the parse UDF runs here — the dominant, thread-scaling phase)
+          // and yields nOk for the error-recovery short-circuit in the same
+          // action; every commit below reads the cache.
+          val nOk = phase("parse", System.nanoTime()) { okParsed.count() }
 
-          // status='error' recovery: wave rows with no page (P6) — reads the
-          // ok urls from the cached parse, so pages are scanned exactly once.
-          // Short-circuit: when every wave row found its page (the common
-          // case), skip the anti-join entirely — its build side is another
-          // wave-sized broadcast per wave otherwise.
-          val nOk = okParsed.count() // cached — cheap
+          // status='error' recovery: wave rows with no page, or whose page
+          // had NULL html (P6). Short-circuit: when every wave row parsed
+          // (the common case — requires the pages table's url-uniqueness
+          // contract, see Config.pagesTable), skip the anti-join entirely —
+          // its build side is another wave-sized broadcast per wave.
           val errRows = (if (nOk == nFetch)
             fetchSlice.limit(0)
           else errorRows(fetchSlice, okParsed.select(col("url")), useBroadcast))
             .withColumn("status", lit("error"))
 
-          // ---- fetchlog: ordering trace + seen log + lineage source ----
+          // ---- fetchlog rows: ordering trace + seen log + lineage source ----
           val attemptCols = Seq(col("url"), col("url_hash"), col("host"),
             col("host_rank"), col("status"), col("depth"),
             col("seed_subject"), col("seed_year"),
@@ -296,30 +330,62 @@ object CrawlEngine {
             .withColumn("deduped_in_wave", lit(nSeen))
             .withColumn("blocked_in_wave", lit(nBlocked))
             .withColumn("deferred_in_wave", lit(nDeferred))
-          phase("fetchlog", System.nanoTime()) { fetchlogT.commit(logRows, wave) }
 
-          // ---- bloom insert (attempted urls — Scrapy marks on request) ----
-          // distributed build: executors fold per-partition filters, the agg
-          // merges them; the driver receives only the fixed-size sketch blob,
-          // never row data (round-1 collected every wave's url_hashes)
-          phase("bloom", System.nanoTime()) {
-            if (nFetch > 0) { // stat.bloomFilter returns null on empty input
-              // cap the partial-filter fan-in: each partial is a full-size
-              // bit array (~5 MB at bloomExpected=2^22), so per-partition
-              // alloc+merge cost grows with partition count while putLong is
-              // ~free — measured ANTI-scaling 8→32 threads without the cap.
-              // ~1M inserts per partial keeps build parallel exactly when
-              // the wave is big enough to need it.
-              val parts = math.max(1L, math.min(16L, nFetch / 1000000L)).toInt
-              val waveFilter = fetchSlice.select("url_hash").coalesce(parts)
-                .stat.bloomFilter("url_hash", cfg.bloomExpected, cfg.bloomFpp)
-              bloom.merge(waveFilter)
-            }
-            bloom.save(spark, s"$storeRoot/bloom", wave)
-          }
-          if (cfg.strategy == SeenSet.BloomCuckoo)
-            SeenSet.cuckooInsert(spark, fetchSlice.select("url_hash").as[Long],
-              cuckooT, cfg.cuckooShards, cfg.cuckooPerShardCapacity, wave)
+          // ---- state commits, CONCURRENT (VERDICT r02 #3): questions,
+          // fetchlog, bloom, cuckoo are independent jobs over cached inputs
+          // (okParsed / waveLog), writing to disjoint tables. Submitting them
+          // from separate driver threads overlaps their fixed per-job cost
+          // (driver planning + scheduling + manifest commit) — the measured
+          // ~7 s/wave serial floor was exactly these back-to-back small jobs.
+          // The frontier advance stays a BARRIER after all of them: resume
+          // correctness requires every state commit of wave N to land before
+          // the frontier moves to N+1 (see the resume note above).
+          import scala.concurrent.{Await, Future}
+          val commits = Seq[() => Unit](
+            () => if (cfg.parseQuestions) phase("questions", System.nanoTime()) {
+              questionsT.commit(okParsed
+                .select(col("url"), col("seed_subject"), col("seed_year"),
+                  posexplode_outer(col("p.questions")).as(Seq("pos", "q")))
+                .filter(col("q").isNotNull)
+                .select(col("url"), col("seed_subject"), col("seed_year"), col("pos"),
+                  col("q.section"), col("q.qtype"), col("q.number"), col("q.question"),
+                  col("q.options"), col("q.subparts"), col("q.diagrams"),
+                  col("q.answer"), col("q.solution"),
+                  col("q.answer_after_solution")),
+                wave)
+            },
+            () => phase("fetchlog", System.nanoTime()) {
+              fetchlogT.commit(logRows, wave)
+            },
+            // bloom insert (attempted urls — Scrapy marks on request):
+            // distributed build — executors fold per-partition filters, the
+            // agg merges them; the driver receives only the fixed-size
+            // sketch blob, never row data.
+            () => phase("bloom", System.nanoTime()) {
+              if (nFetch > 0) { // stat.bloomFilter NPEs on empty input
+                if (bloom.saturated) bloom.inserted += nFetch // bits dead; count stays monotone
+                else {
+                  // cap the partial-filter fan-in: each partial is a
+                  // full-size bit array (~5 MB at bloomExpected=2^22) —
+                  // per-partition alloc+merge ANTI-scales without the cap;
+                  // ~1M inserts per partial keeps the build parallel exactly
+                  // when the wave is big enough to need it.
+                  val parts = math.max(1L, math.min(16L, nFetch / 1000000L)).toInt
+                  val waveFilter = fetchSlice.select("url_hash").coalesce(parts)
+                    .stat.bloomFilter("url_hash", cfg.bloomExpected, cfg.bloomFpp)
+                  bloom.merge(waveFilter, nFetch)
+                }
+              }
+              bloom.save(spark, s"$storeRoot/bloom", wave)
+            },
+            () => if (cfg.strategy == SeenSet.BloomCuckoo)
+              phase("cuckoo", System.nanoTime()) {
+                SeenSet.cuckooInsert(spark, fetchSlice.select("url_hash").as[Long],
+                  cuckooT, cfg.cuckooShards, cfg.cuckooPerShardCapacity, wave)
+              })
+          val running = commits.map(f => Future(f())(commitEc))
+          running.foreach(fut =>
+            Await.result(fut, scala.concurrent.duration.Duration.Inf))
 
           // ---- next frontier: deferred ∪ discovered links (S4) ----
           val discovered = okParsed
@@ -359,6 +425,7 @@ object CrawlEngine {
         }
       }
     }
+    } finally commitEc.shutdown()
 
     // ---- result summary from the fetchlog: ONE scan, one job ----
     if (fetchlogT.isEmpty) return Result(wave, 0, 0, 0, 0, 0)

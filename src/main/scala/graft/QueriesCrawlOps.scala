@@ -18,6 +18,37 @@ object QueriesCrawlOps {
   private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** The queries that are artifact SINK round-trips, not scan queries: they
+    * write + re-read a real batch tree (by design — that IS the operator).
+    * Bench reports them separately so file I/O doesn't read as scan cost.
+    */
+  val sinkQueries: Set[String] =
+    Set("r5_enrich_outcomes", "r6_raw_feed_roundtrip", "w1_screenshot_workflow")
+
+  /** One session-scoped scratch root for the sink queries (VERDICT r02 #5):
+    * a per-query subdir is WIPED on (re-)invocation — warmup + timed bench
+    * passes reuse one tree instead of leaking a fresh temp dir each — and
+    * the whole root is removed at JVM exit.
+    */
+  private object Scratch {
+    private def deleteTree(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(x => java.nio.file.Files.deleteIfExists(x))
+    private lazy val root: java.nio.file.Path = {
+      val p = java.nio.file.Files.createTempDirectory("graft-sink-scratch")
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => deleteTree(p), "graft-scratch-cleanup"))
+      p
+    }
+    def dir(name: String): String = {
+      val d = root.resolve(name)
+      deleteTree(d)
+      java.nio.file.Files.createDirectories(d)
+      d.toString
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     // one full politeness wave over the real seed frontier (dedup-free wave 0)
     "c1_politeness_wave" -> ((s, d) => {
@@ -56,20 +87,24 @@ object QueriesCrawlOps {
     "m2_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 6)),
 
-    // LSH-bucketed approximate nearest neighbors
+    // LSH-bucketed approximate nearest neighbors — corpus-sized planes +
+    // 1-flip multi-probe (the SimilaritySpec recall@3>=0.8 configuration)
     "n2_ann_lsh" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-      Similarity.annTopK(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5), 3)
+      Similarity.annTopK(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5), 3,
+        nPlanes = 4)
     }),
 
     // embedding near-dup blocked by LSH bucket (the label-free 100-TB path)
     "m4_embedding_neardup_lsh" -> ((s, d) =>
-      Similarity.cosineNearDupLsh(t(s, d, "embeddings"), 0.45)),
+      Similarity.cosineNearDupLsh(t(s, d, "embeddings"), 0.45, nPlanes = 4)),
 
-    // IVF-cell approximate nearest neighbors (coarse-quantizer scale path)
+    // IVF-cell approximate nearest neighbors (coarse-quantizer scale path;
+    // recall-gated params: 2-cell corpus assignment, 8-cell probe)
     "n3_ann_ivf" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-      Similarity.ivfTopK(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5), 3)
+      Similarity.ivfTopK(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5), 3,
+        nCells = 16, nProbe = 8, corpusAssign = 2)
     }),
 
     // document fingerprints (rolling hash)
@@ -125,7 +160,7 @@ object QueriesCrawlOps {
     // JSON = skip), scan the files back, classify per
     // update_all_metadata.py:104-133.
     "r5_enrich_outcomes" -> ((s, d) => {
-      val out = java.nio.file.Files.createTempDirectory("graft-r5").toString
+      val out = Scratch.dir("r5")
       BatchSink.writeBatchOutputs(s, parsedQuestions(s, d), out)
       Enrichment.scanBatchState(s, out).select("subject", "year", "screenshot_url")
         .collect().foreach { r =>
@@ -149,7 +184,7 @@ object QueriesCrawlOps {
     // S5/S6/S7 literal: raw Scrapy feed write + scan-back round-trip —
     // per-batch item counts by type from the re-read temp json
     "r6_raw_feed_roundtrip" -> ((s, d) => {
-      val out = java.nio.file.Files.createTempDirectory("graft-r6").toString
+      val out = Scratch.dir("r6")
       val feeds = BatchSink.writeRawFeeds(s, parsedQuestions(s, d), out)
       feeds.map { case (j, _) =>
         val name = java.nio.file.Paths.get(j).getFileName.toString
@@ -170,7 +205,7 @@ object QueriesCrawlOps {
     */
   private def workflowQuery(s: SparkSession, d: String): DataFrame = {
     import graft.operators.ScreenshotWorkflow
-    val out = java.nio.file.Files.createTempDirectory("graft-w1").toString
+    val out = Scratch.dir("w1")
     val q = parsedQuestions(s, d)
     BatchSink.writeBatchOutputs(s, q, out)
     val items = Restructure.metadata(q).select(col("subject"), col("year"))
@@ -195,6 +230,6 @@ object QueriesCrawlOps {
       .select(col("url"), col("seed_subject"), col("seed_year"), col("pos"),
         col("q.section"), col("q.qtype"), col("q.number"), col("q.question"),
         col("q.options"), col("q.subparts"), col("q.diagrams"),
-        col("q.answer"), col("q.solution"))
+        col("q.answer"), col("q.solution"), col("q.answer_after_solution"))
   }
 }

@@ -18,10 +18,18 @@ final case class Subpart(part: String, question: String,
 final case class Options(A: String, B: String, C: String, D: String) {
   def anyNonEmpty: Boolean = A.nonEmpty || B.nonEmpty || C.nonEmpty || D.nonEmpty
 }
+/** `answer_after_solution` carries the reference's dict-key-order provenance
+  * (core/main.py:177-183): when the HTML fallback (F9) supplies the answer
+  * for a question whose solution text existed, the reference appends the
+  * `answer` key AFTER the already-present `solution` key — insertion-ordered
+  * sinks (raw feeds, restructured JSON) must emit `..., solution, answer`
+  * for exactly those rows, `..., answer, solution` otherwise.
+  */
 final case class Question(section: String, qtype: String, number: Int,
                           question: String, options: Options,
                           subparts: Seq[Subpart], diagrams: Seq[String],
-                          answer: String, solution: String)
+                          answer: String, solution: String,
+                          answer_after_solution: Boolean = false)
 
 final case class ParsedPage(questions: Seq[Question], next: String)
 
@@ -198,17 +206,23 @@ object QuestionParser {
     val questionText = extractQuestionStem(questionPart, questionNum)
     val options = extractOptions(questionPart)
     var (answer, solution, found) = extractAnswerInfo(solutionPart)
+    var answerAfterSolution = false
     if (!found || answer == null) {
       val htmlAnswer = extractAnswerFromHtml(container)
-      if (htmlAnswer != null) answer = htmlAnswer
-      // reference: if answer_info was None it becomes {"answer": ...} with no
-      // solution key — solution stays null in that branch.
+      if (htmlAnswer != null) {
+        answer = htmlAnswer
+        // reference: if answer_info was None it becomes {"answer": ...} with
+        // no solution key — solution stays null in that branch. If it DID
+        // exist (solution key already set), the fallback answer is appended
+        // after it: dict order ..., solution, answer (core/main.py:177-183).
+        answerAfterSolution = found
+      }
     }
     val diagrams = extractAllDiagrams(container)
 
     if (questionText.nonEmpty && options.anyNonEmpty && questionNum > 0)
       Some(Question("objective", "mcq", questionNum, questionText, options,
-        Seq.empty, diagrams, answer, solution))
+        Seq.empty, diagrams, answer, solution, answerAfterSolution))
     else None
   }
 

@@ -76,7 +76,9 @@ object TextAnalysis {
     * HOF formulation below.
     */
   def fingerprint(text: Column): Column = {
-    val fpUdf = udf((s: String) => {
+    // null text → null, matching fingerprintHof (aggregate over a null array
+    // is null) — the bit-parity contract includes the null case (ADVICE r02)
+    val fpUdf = udf((s: String) => if (s == null) null.asInstanceOf[java.lang.Long] else {
       val M = 1000000007L
       var acc = 0L
       var start = 0
@@ -92,7 +94,7 @@ object TextAnalysis {
         }
         i += 1
       }
-      acc
+      java.lang.Long.valueOf(acc)
     })
     fpUdf(text)
   }

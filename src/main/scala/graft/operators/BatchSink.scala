@@ -20,12 +20,12 @@ import graft.util.Json
   * single-process writers; the heavy lifting (grouping, flattening, stats)
   * stays distributed in Restructure.
   *
-  * Documented deviation (ADVICE r01, low): when the reference's HTML-answer
-  * fallback fires for a question that also has a solution, its dict order is
-  * ..., solution, answer (core/main.py:178-183); the engine's struct schema
-  * always emits answer before solution. Provenance isn't carried through the
-  * columnar pipeline; goldens compare in canonical sorted-key form
-  * (Json.scala note) where the orders coincide.
+  * Key-order provenance (ADVICE r01, closed in r03): when the reference's
+  * HTML-answer fallback fires for a question that also has a solution, its
+  * dict order is ..., solution, answer (core/main.py:178-183). The parse
+  * carries that as `Question.answer_after_solution`, and every
+  * insertion-ordered sink here honors it (itemOf / jsonRow); the
+  * `*.ordered.json` goldens byte-check it against the CPython oracle.
   */
 object BatchSink {
 
@@ -73,7 +73,24 @@ object BatchSink {
   private def jsonRow(r: Row, indent: Int,
                       overrides: Map[String, String] = Map.empty): String = {
     val pad = "  " * (indent + 1)
-    val fields = r.schema.fieldNames.zipWithIndex
+    // F9 key-order provenance: a boolean `answer_after_solution` field is an
+    // ordering DIRECTIVE, not data — drop it from the output and, when set,
+    // emit the answer key after the solution key (Question scaladoc).
+    val names = r.schema.fieldNames.zipWithIndex
+    val ansAfterSol = names.collectFirst {
+      case ("answer_after_solution", i) if !r.isNullAt(i) => r.getBoolean(i)
+    }.getOrElse(false)
+    val base = names.filterNot(_._1 == "answer_after_solution")
+    val ordered =
+      if (!ansAfterSol) base
+      else base.find(_._1 == "answer") match {
+        case Some(a) =>
+          val without = base.filterNot(_._1 == "answer")
+          val si = without.indexWhere(_._1 == "solution")
+          if (si < 0) base else (without.take(si + 1) :+ a) ++ without.drop(si + 1)
+        case None => base
+      }
+    val fields = ordered
       .filter { case (_, i) => !r.isNullAt(i) } // reference omits absent keys
       .map { case (n, i) =>
         val rendered = overrides.getOrElse(n,
@@ -189,8 +206,15 @@ object BatchSink {
       m("diagrams") =
         Option(r.getAs[scala.collection.Seq[String]]("diagrams"))
           .getOrElse(scala.collection.Seq.empty)
-      if (r.getAs[String]("answer") != null) m("answer") = r.getAs[String]("answer")
-      if (r.getAs[String]("solution") != null) m("solution") = r.getAs[String]("solution")
+      // F9 provenance (Question.answer_after_solution): fallback answer on an
+      // existing answer_info lands after the solution key
+      val ansAfterSol = scala.util.Try(r.fieldIndex("answer_after_solution"))
+        .toOption.exists(i => !r.isNullAt(i) && r.getBoolean(i))
+      def putAnswer(): Unit =
+        if (r.getAs[String]("answer") != null) m("answer") = r.getAs[String]("answer")
+      def putSolution(): Unit =
+        if (r.getAs[String]("solution") != null) m("solution") = r.getAs[String]("solution")
+      if (ansAfterSol) { putSolution(); putAnswer() } else { putAnswer(); putSolution() }
       m
     }
     Files.createDirectories(Paths.get(outDir))

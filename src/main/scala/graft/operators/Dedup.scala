@@ -176,16 +176,38 @@ object Dedup {
     * docs whose lengths straddle a 64-char band boundary still share a key
     * (round 1 used a single band and silently missed those); any pair within
     * 32 chars of each other is guaranteed a common band.
+    *
+    * `maxBlock` (VERDICT r02 #7) bounds the within-block quadratic term for
+    * hot blocks: each (block, band, len_band) keeps at most `maxBlock` rows
+    * (deterministic: lowest ids win), so candidate pairs per block are
+    * ≤ maxBlock², whatever the skew. NEVER silent: the dropped-row count is
+    * computed and logged (one extra small job, only when a cap is set).
+    * None (the default, and the d2 oracle query's setting) = unbounded.
     */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.6,
                    idCol: String = "doc_id", textCol: String = "text",
-                   blockCol: String = "source"): DataFrame = {
+                   blockCol: String = "source",
+                   maxBlock: Option[Int] = None): DataFrame = {
     val tok = docs.select(col(idCol), col(blockCol).as("block"),
       length(col(textCol)).as("len"),
       array_distinct(tokensCol(col(textCol))).as("tok")).localCheckpoint()
-    val banded = tok.select(col(idCol), col("block"), col("tok"), posexplode(
+    val banded0 = tok.select(col(idCol), col("block"), col("tok"), posexplode(
       array((col("len") / 64).cast("int"),
         ((col("len") + 32) / 64).cast("int"))).as(Seq("band", "len_band")))
+    val banded = maxBlock match {
+      case None => banded0
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("block"), col("band"), col("len_band"))
+          .orderBy(col(idCol))
+        val ranked = banded0.withColumn("rn", row_number().over(w))
+          .localCheckpoint() // rank once, reused by the drop-count and both join sides
+        val dropped = ranked.filter(col("rn") > cap).count()
+        if (dropped > 0) System.err.println(
+          s"[graft] WARN ngramJaccard: hot-block cap $cap dropped $dropped " +
+            "banded rows (bounded pairs, reduced recall on the hot block)")
+        ranked.filter(col("rn") <= cap).drop("rn")
+    }
     val l = banded.select(col("block"), col("band"), col("len_band"),
       col(idCol).as("id_a"), col("tok").as("tok_a"))
     val r = banded.select(col("block"), col("band"), col("len_band"),

@@ -37,6 +37,13 @@ object Multimodal {
       }
   }
 
+  /** Frame count of a (fake-)decoded video payload — the ONE definition
+    * shared by [[extractFeatures]]'s `frames` and [[sampleFrames]], so the
+    * mm2 reconcile invariant can't drift between the two (VERDICT r02 #4).
+    */
+  private[operators] def frameCount(payload: Array[Byte]): Int =
+    1 + (payload.length % 32)
+
   /** STUB decoder — deterministic fake decode. A real implementation would
     * hand `payload` to an image/audio codec; the signature and batch usage
     * are the real contract.
@@ -47,7 +54,7 @@ object Multimodal {
     while (i < a.payload.length) { h = (h ^ a.payload(i)) * 0x100000001b3L; i += 1 }
     AssetFeatures(a.doc_id, a.kind, a.payload.length.toLong,
       a.declared_w, a.declared_h, h,
-      if (a.kind == "video") 1 + (a.payload.length % 32) else 1)
+      if (a.kind == "video") frameCount(a.payload) else 1)
   }
 
   /** Decode/feature-extract over partition batches: one decoder per
@@ -94,7 +101,7 @@ object Multimodal {
     import assets.sparkSession.implicits._
     assets.filter(_.kind == "video").mapPartitions { it =>
       it.flatMap { a =>
-        val n = 1 + (a.payload.length % 32) // = decodeStub's frames
+        val n = frameCount(a.payload)
         val len = math.max(a.payload.length, 1)
         (0 until n).iterator.map { i =>
           val start = (i * 4) % len

@@ -29,15 +29,19 @@ object Restructure {
     * screenshot url (J2 enrichment target, update_all_metadata.py:50).
     */
   def restructuredDocs(questions: DataFrame): DataFrame = {
-    val q = questions
+    val q = (if (questions.columns.contains("answer_after_solution")) questions
+      else questions.withColumn("answer_after_solution", lit(false)))
       .withColumn("qt", qtypeCol)
       .withColumn("ord", struct(col("url"), col("pos")))
     // reference dicts: mcq rows have no subparts key, theory rows no options
-    // key (core/main.py:190-203,449-456) — null here so JSON sinks omit them
+    // key (core/main.py:190-203,449-456) — null here so JSON sinks omit them.
+    // answer_after_solution is the F9 key-order directive the JSON sink
+    // consumes (BatchSink.jsonRow) — never rendered itself.
     val cleaned = struct(col("number"), col("question"),
       when(col("qt") === "objectives", col("options")).otherwise(lit(null)).as("options"),
       when(col("qt") === "theory", col("subparts")).otherwise(lit(null)).as("subparts"),
-      col("diagrams"), col("answer"), col("solution"))
+      col("diagrams"), col("answer"), col("solution"),
+      col("answer_after_solution"))
     q.groupBy(col("seed_subject").as("subject"), col("seed_year").as("year"))
       .agg(
         sort_array(collect_list(when(col("qt") === "objectives",

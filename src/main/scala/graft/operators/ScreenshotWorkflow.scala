@@ -28,7 +28,73 @@ object ScreenshotWorkflow {
                               capture_attempts: Int, capture_ok: Boolean,
                               upload_attempts: Int, upload_ok: Boolean,
                               enriched: Boolean, screenshot_url: String,
-                              ok: Boolean)
+                              ok: Boolean, skipped: Boolean = false,
+                              skip_reason: String = null)
+
+  /** Screenshot/upload configuration with the reference's validation rules
+    * (`/root/reference/config/screenshot_config.py:16-197`): browser
+    * whitelist, positive viewport/timeout, quality bounds, and the
+    * credentials-present check. `load_config` semantics: an enabled-but-
+    * invalid config is demoted to disabled (with the errors as the reason)
+    * rather than failing the run — [[processBatch]] then short-circuits every
+    * item to a `skipped` row.
+    */
+  final case class ScreenshotConfig(
+      enabled: Boolean = true,
+      browserType: String = "chromium",
+      viewportWidth: Int = 1920,
+      viewportHeight: Int = 1080,
+      timeoutMs: Int = 60000,
+      screenshotFormat: String = "png",
+      quality: Int = 90,
+      publicKey: Option[String] = Some("pk_offline"),
+      privateKey: Option[String] = Some("sk_offline"),
+      urlEndpoint: Option[String] = Some("https://ik.imagekit.io/graft"),
+      pdfQuality: Int = 95) {
+
+    /** Validation errors, empty when valid (screenshot_config.py:116-152).
+      * Only an *enabled* config validates — a disabled one is vacuously ok.
+      */
+    def validationErrors: Seq[String] = if (!enabled) Seq.empty else {
+      val errs = Seq.newBuilder[String]
+      val missing = Seq("IMAGEKIT_PUBLIC_KEY" -> publicKey,
+        "IMAGEKIT_PRIVATE_KEY" -> privateKey,
+        "IMAGEKIT_URL_ENDPOINT" -> urlEndpoint)
+        .collect { case (n, None) => n }
+      if (missing.nonEmpty)
+        errs += s"Missing required environment variables: ${missing.mkString(", ")}"
+      if (!Seq("chromium", "firefox", "webkit").contains(browserType))
+        errs += s"Invalid browser type: $browserType"
+      if (viewportWidth <= 0 || viewportHeight <= 0)
+        errs += "Viewport dimensions must be positive integers"
+      if (timeoutMs <= 0) errs += "Timeout must be a positive integer"
+      if (pdfQuality < 1 || pdfQuality > 100)
+        errs += "PDF quality must be between 1 and 100"
+      errs.result()
+    }
+
+    /** `load_config`: validation failure on an enabled config disables it. */
+    def effective: ScreenshotConfig =
+      if (enabled && validationErrors.nonEmpty) copy(enabled = false) else this
+  }
+
+  object ScreenshotConfig {
+    /** `from_env` twin over an injectable env map (the sandbox has no real
+      * credentials; the parse/default rules are the reference's).
+      */
+    def fromEnv(env: Map[String, String]): ScreenshotConfig = ScreenshotConfig(
+      enabled = env.getOrElse("SCREENSHOT_ENABLED", "true").toLowerCase == "true",
+      browserType = env.getOrElse("PLAYWRIGHT_BROWSER", "chromium"),
+      viewportWidth = env.getOrElse("PLAYWRIGHT_VIEWPORT_WIDTH", "1920").toInt,
+      viewportHeight = env.getOrElse("PLAYWRIGHT_VIEWPORT_HEIGHT", "1080").toInt,
+      timeoutMs = env.getOrElse("PLAYWRIGHT_TIMEOUT", "60000").toInt,
+      screenshotFormat = env.getOrElse("PLAYWRIGHT_SCREENSHOT_FORMAT", "png"),
+      quality = env.getOrElse("PLAYWRIGHT_QUALITY", "90").toInt,
+      publicKey = env.get("IMAGEKIT_PUBLIC_KEY"),
+      privateKey = env.get("IMAGEKIT_PRIVATE_KEY"),
+      urlEndpoint = env.get("IMAGEKIT_URL_ENDPOINT"),
+      pdfQuality = env.getOrElse("PDF_QUALITY", "95").toInt)
+  }
 
   /** The minted storage URL — string twin of [[Restructure.screenshotUrl]]
     * (folder scheme + pinned-epoch cache buster,
@@ -69,9 +135,14 @@ object ScreenshotWorkflow {
     val dir = s"$outDir/$name"
     def ifExists(p: String) =
       Option(p).filter(x => java.nio.file.Files.exists(java.nio.file.Paths.get(x)))
-    val enriched = Enrichment.enrichFiles(
-      ifExists(s"$dir/$name.json"), ifExists(s"$dir/$name.csv"),
-      ifExists(s"$dir/${name}_metadata.json"), up.value.get, createBackup = true)
+    val artifacts = Seq(ifExists(s"$dir/$name.json"), ifExists(s"$dir/$name.csv"),
+      ifExists(s"$dir/${name}_metadata.json"))
+    // enriched=true requires at least one artifact actually enriched —
+    // enrich_files over three absent files is vacuously true and would
+    // overstate the A7 tally (ADVICE r02)
+    val enriched = artifacts.exists(_.isDefined) &&
+      Enrichment.enrichFiles(artifacts(0), artifacts(1), artifacts(2),
+        up.value.get, createBackup = true)
     // reference: enrichment failure is logged but the workflow still returns
     // the screenshot url (screenshot_workflow.py:170-176)
     ItemResult(item.subject, item.year, item.url,
@@ -79,13 +150,32 @@ object ScreenshotWorkflow {
       enriched = enriched, up.value.get, ok = true)
   }
 
-  /** process_batch: sequential per-item workflow, per-item result rows. */
+  /** `skipped` row: the workflow was disabled (explicitly or by validation
+    * demotion) before any stage ran — config gate, screenshot_config.py's
+    * load_config + the service's enabled check.
+    */
+  private def skippedResult(item: Item, reason: String): ItemResult =
+    ItemResult(item.subject, item.year, item.url,
+      0, capture_ok = false, 0, upload_ok = false,
+      enriched = false, null, ok = false, skipped = true, skip_reason = reason)
+
+  /** process_batch: sequential per-item workflow, per-item result rows.
+    * A disabled/invalid config short-circuits every item to a skipped row
+    * with the validation errors as the reason.
+    */
   def processBatch(spark: SparkSession, items: Seq[Item], outDir: String,
                    capture: Item => String = captureStub,
                    upload: (Item, String) => String = (i, _) => mintUrl(i.subject, i.year),
-                   sleeper: Long => Unit = _ => ()): DataFrame = {
+                   sleeper: Long => Unit = _ => (),
+                   config: ScreenshotConfig = ScreenshotConfig()): DataFrame = {
     import spark.implicits._
-    items.map(processUrl(_, outDir, capture, upload, sleeper)).toDF()
+    val cfg = config.effective
+    if (!cfg.enabled) {
+      val reason =
+        if (config.enabled) config.validationErrors.mkString("; ")
+        else "screenshot functionality disabled"
+      items.map(skippedResult(_, reason)).toDF()
+    } else items.map(processUrl(_, outDir, capture, upload, sleeper)).toDF()
   }
 
   /** A7: the batch tally — "Batch processing complete: X/Y successful"
@@ -96,6 +186,7 @@ object ScreenshotWorkflow {
       count(lit(1)).as("n_items"),
       sum(when(col("ok"), 1L).otherwise(0L)).as("successful"),
       sum(when(!col("ok"), 1L).otherwise(0L)).as("failed"),
+      sum(when(col("skipped"), 1L).otherwise(0L)).as("skipped_items"),
       sum(col("capture_attempts")).as("capture_attempts"),
       sum(col("upload_attempts")).as("upload_attempts"),
       sum(when(col("enriched"), 1L).otherwise(0L)).as("enriched_batches"))

@@ -47,18 +47,39 @@ object SeenSet {
 
   // --- bloom tier -----------------------------------------------------------
 
-  final class Bloom(expected: Long, fpp: Double) extends Serializable {
+  /** Sizing policy (VERDICT r02): `expected` must be ≥ the projected insert
+    * count — past it the FP rate climbs toward 1 and the pre-filter
+    * degenerates into "everything is a suspect". The filter therefore TRACKS
+    * its insert count: once `inserted > expected` it reports [[saturated]],
+    * further merges are skipped (the bits are already useless), and the
+    * engine bypasses the pre-filter entirely — every candidate goes straight
+    * to the (exact/cuckoo) confirm tier, which stays correct at any scale
+    * (CrawlEngineSpec proves digest equality across the boundary). Both
+    * counters persist with the bits, so a resumed run keeps the policy.
+    */
+  final class Bloom(var expected: Long, fpp: Double) extends Serializable {
     var filter: BloomFilter = BloomFilter.create(expected, fpp)
-    def addWave(hashes: Array[Long]): Unit = hashes.foreach(filter.putLong)
-    /** Merge a distributed-built wave filter (must share (expected, fpp) so
-      * the bit arrays are compatible).
+    var inserted: Long = 0L
+    def saturated: Boolean = inserted > expected
+    def addWave(hashes: Array[Long]): Unit = {
+      hashes.foreach(filter.putLong); inserted += hashes.length
+    }
+    /** Merge a distributed-built wave filter of `n` inserts (must share
+      * (expected, fpp) so the bit arrays are compatible). Skipped once
+      * saturated — the engine no longer probes a saturated filter, so
+      * merging would be pure cost; the count still advances so saturation
+      * is monotone across resume.
       */
-    def merge(other: BloomFilter): Unit = filter.mergeInPlace(other)
+    def merge(other: BloomFilter, n: Long): Unit = {
+      if (!saturated) filter.mergeInPlace(other)
+      inserted += n
+    }
     def save(spark: SparkSession, dir: String, wave: Int): Unit = {
       val p = new Path(dir, f"bloom_v$wave%05d.bin")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val out = fs.create(p, true)
-      try filter.writeTo(out) finally out.close()
+      try { out.writeLong(inserted); out.writeLong(expected); filter.writeTo(out) }
+      finally out.close()
     }
   }
 
@@ -82,7 +103,11 @@ object SeenSet {
         val v = vs.max
         val in = fs.open(new Path(d, f"bloom_v$v%05d.bin"))
         val b = new Bloom(1, 0.5)
-        try b.filter = BloomFilter.readFrom(in) finally in.close()
+        try {
+          b.inserted = in.readLong()
+          b.expected = in.readLong()
+          b.filter = BloomFilter.readFrom(in)
+        } finally in.close()
         Some((v, b))
       }
     }

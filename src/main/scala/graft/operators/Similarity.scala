@@ -69,6 +69,21 @@ object Similarity {
     (((s % 100000L) + 100000L) % 100000L).toDouble / 50000.0 - 1.0
   }
 
+  private def bucketOf(planes: Array[Array[Double]], v: Seq[Float]): Long = {
+    var bucket = 0L
+    var p = 0
+    while (p < planes.length) {
+      val row = planes(p)
+      val n = math.min(v.length, row.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += v(i).toDouble * row(i); i += 1 }
+      if (dot > 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
   /** LSH bucket id: `nPlanes` sign bits of hyperplane dot products. One
     * compiled UDF with the hyperplane matrix precomputed in the closure —
     * the round-1 `aggregate(zip_with(...))` formulation evaluated
@@ -78,32 +93,54 @@ object Similarity {
   def lshBucket(vec: Column, table: Int, nPlanes: Int, dims: Int): Column = {
     val planes: Array[Array[Double]] =
       Array.tabulate(nPlanes, dims)((p, d) => hpComponent(table, p, d))
-    val bucketUdf = udf((v: Seq[Float]) => {
-      var bucket = 0L
-      var p = 0
-      while (p < planes.length) {
-        val row = planes(p)
-        val n = math.min(v.length, row.length)
-        var dot = 0.0
-        var i = 0
-        while (i < n) { dot += v(i).toDouble * row(i); i += 1 }
-        if (dot > 0) bucket |= (1L << p)
-        p += 1
-      }
-      bucket
-    })
+    val bucketUdf = udf((v: Seq[Float]) => bucketOf(planes, v))
     bucketUdf(vec)
   }
 
-  /** Approximate top-k: queries and corpus bucketed per LSH table; exact
-    * cosine within buckets, best-of across tables.
+  /** Multi-probe bucket set (Lv et al., multi-probe LSH): the base bucket
+    * plus every bucket within `flips` sign-bit flips — a near neighbor that
+    * lands one hyperplane to the "wrong" side is still probed, which is THE
+    * standard recall lever that doesn't multiply corpus-side storage: only
+    * the (small) probing side fans out, the corpus stays one bucket per
+    * table. flips=1 → 1+nPlanes probes; flips=2 adds C(nPlanes, 2) more.
+    */
+  def lshProbeBuckets(vec: Column, table: Int, nPlanes: Int, dims: Int,
+                      flips: Int): Column = {
+    val planes: Array[Array[Double]] =
+      Array.tabulate(nPlanes, dims)((p, d) => hpComponent(table, p, d))
+    val np = nPlanes
+    val f = flips
+    val probeUdf = udf((v: Seq[Float]) => {
+      val base = bucketOf(planes, v)
+      val out = scala.collection.mutable.ArrayBuffer(base)
+      if (f >= 1) (0 until np).foreach(p => out += (base ^ (1L << p)))
+      if (f >= 2) for (p <- 0 until np; q <- (p + 1) until np)
+        out += (base ^ (1L << p) ^ (1L << q))
+      out.toSeq
+    })
+    probeUdf(vec)
+  }
+
+  /** Approximate top-k: corpus bucketed once per LSH table, queries
+    * MULTI-PROBE their bucket neighborhood ([[lshProbeBuckets]]); exact
+    * cosine within probed buckets, best-of across tables.
+    *
+    * Sizing: `nPlanes` ≈ log2(corpusSize / targetBucketSize) — too many
+    * planes shatters the space and recall collapses (the round-2 default of
+    * 8 planes on a 500-vector corpus measured recall@3 = 0.07; 4 planes +
+    * 1-flip probing measures ≥ 0.9, SimilaritySpec gate). At 10^10 rows the
+    * same defaults give ~2^4-sized buckets only with nPlanes ≈ 30 — always
+    * size from the corpus. probeFlips is the recall lever that costs only
+    * query-side fan-out (corpus-side storage and shuffle are unchanged).
     */
   def annTopK(queries: DataFrame, corpus: DataFrame, k: Int, nTables: Int = 4,
               nPlanes: Int = 8, dims: Int = 64,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              probeFlips: Int = 1): DataFrame = {
     val tables = (0 until nTables).map { tbl =>
       val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        lshBucket(col(vecCol), tbl, nPlanes, dims).as("bucket"))
+        explode(lshProbeBuckets(col(vecCol), tbl, nPlanes, dims, probeFlips))
+          .as("bucket"))
       val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         lshBucket(col(vecCol), tbl, nPlanes, dims).as("bucket"))
       c.join(broadcast(q), Seq("bucket"))
@@ -129,7 +166,8 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nCells: Int = 16,
               nProbe: Int = 4, dims: Int = 64,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              corpusAssign: Int = 1): DataFrame = {
     val centroids: Array[Array[Double]] =
       Array.tabulate(nCells, dims)((c, d) => hpComponent(1 << 16 | c, 0, d))
     def cellScores(v: Seq[Float]): Array[Double] = {
@@ -147,25 +185,30 @@ object Similarity {
       }
       out
     }
-    val cellUdf = udf((v: Seq[Float]) => {
-      val s = cellScores(v)
-      var best = 0
-      var c = 1
-      while (c < s.length) { if (s(c) > s(best)) best = c; c += 1 }
-      best
-    })
-    val np = nProbe
-    val probeUdf = udf((v: Seq[Float]) =>
+    def topCells(v: Seq[Float], n: Int): Seq[Int] =
       cellScores(v).zipWithIndex.sortBy { case (s, i) => (-s, i) }
-        .take(np).map(_._2))
+        .take(n).map(_._2).toSeq
+    // corpus multi-assignment (FAISS-style replication): each corpus row
+    // indexes under its top-`corpusAssign` cells — a boundary vector whose
+    // best cell isn't the query's becomes reachable via its second cell.
+    // Costs ×corpusAssign index rows (NOT extra shuffles), vs nProbe which
+    // costs query-side scan breadth; the two compose (SimilaritySpec
+    // measures the recall gate with corpusAssign=2, nProbe=8).
+    val ca = corpusAssign
+    val assignUdf = udf((v: Seq[Float]) => topCells(v, ca))
+    val np = nProbe
+    val probeUdf = udf((v: Seq[Float]) => topCells(v, np))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      cellUdf(col(vecCol)).as("cell"))
+      explode(assignUdf(col(vecCol))).as("cell"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       explode(probeUdf(col(vecCol))).as("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     c.join(broadcast(q), Seq("cell"))
       .withColumn("cos", round(cosine(col("qv"), col("cv")), 4))
+      // a pair can meet in several (probe × assignment) cells: dedup BEFORE
+      // ranking so a duplicate can't occupy two top-k slots
+      .select(col("query_id"), col("neighbor_id"), col("cos")).distinct()
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
@@ -178,12 +221,17 @@ object Similarity {
     */
   def cosineNearDupLsh(vecs: DataFrame, threshold: Double, nTables: Int = 4,
                        nPlanes: Int = 8, dims: Int = 64,
-                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       probeFlips: Int = 1): DataFrame = {
     val tables = (0 until nTables).map { tbl =>
-      val b = vecs.select(col(idCol), col(vecCol),
+      // one side multi-probes, the other keeps its base bucket: a pair within
+      // `probeFlips` hamming of each other's buckets meets regardless of
+      // which id is smaller (the flip relation is symmetric)
+      val l = vecs.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+        explode(lshProbeBuckets(col(vecCol), tbl, nPlanes, dims, probeFlips))
+          .as("block"))
+      val r = vecs.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
         lshBucket(col(vecCol), tbl, nPlanes, dims).as("block"))
-      val l = b.select(col("block"), col(idCol).as("id_a"), col(vecCol).as("va"))
-      val r = b.select(col("block"), col(idCol).as("id_b"), col(vecCol).as("vb"))
       l.join(r, Seq("block"))
         .filter(col("id_a") < col("id_b"))
         .withColumn("cos", round(cosine(col("va"), col("vb")), 4))

@@ -25,6 +25,14 @@ object BucketedTable {
   def write(df: DataFrame, dir: String, table: String,
             keyCol: String, buckets: Int): Unit = {
     val spark = df.sparkSession
+    // KEY-UNIQUENESS CONTRACT (ADVICE r02): CrawlEngine's fetch join and its
+    // nOk==nFetch error-recovery short-circuit assume one page per url — a
+    // duplicate key would double-fetch and silently cancel missing-url error
+    // rows. Asserted once here, at staging time (one agg over the staged
+    // data), so every downstream wave can rely on it for free.
+    val c = df.groupBy(col(keyCol)).count().filter(col("count") > 1).limit(1).count()
+    require(c == 0, s"bucketed table $table: duplicate $keyCol values — " +
+      "the fetch-join contract requires one row per key")
     spark.sql(s"DROP TABLE IF EXISTS $table")
     df.repartition(buckets, col(keyCol))
       .write.format("parquet")

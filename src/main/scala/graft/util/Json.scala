@@ -94,14 +94,17 @@ object Json {
   }
 
   def question(q: Question): String = {
+    val ans = if (q.answer != null) Seq("answer" -> str(q.answer)) else Nil
+    val sol = if (q.solution != null) Seq("solution" -> str(q.solution)) else Nil
     val base = Seq(
       "section" -> str(q.section), "type" -> str(q.qtype),
       "number" -> q.number.toString, "question" -> str(q.question)) ++
       (if (q.options != null) Seq("options" -> options(q.options)) else Nil) ++
       (if (q.qtype == "theory") Seq("subparts" -> arr(q.subparts.map(subpart))) else Nil) ++
       Seq("diagrams" -> arr(q.diagrams.map(str))) ++
-      (if (q.answer != null) Seq("answer" -> str(q.answer)) else Nil) ++
-      (if (q.solution != null) Seq("solution" -> str(q.solution)) else Nil)
+      // F9 provenance: html-fallback answer on an existing answer_info dict
+      // lands AFTER the solution key (Question.answer_after_solution note)
+      (if (q.answer_after_solution) sol ++ ans else ans ++ sol)
     obj(base)
   }
 

@@ -26,7 +26,7 @@ class BatchSinkSpec extends AnyFunSuite {
       .select(col("url"), col("seed_subject"), col("seed_year"), col("pos"),
         col("q.section"), col("q.qtype"), col("q.number"), col("q.question"),
         col("q.options"), col("q.subparts"), col("q.diagrams"),
-        col("q.answer"), col("q.solution"))
+        col("q.answer"), col("q.solution"), col("q.answer_after_solution"))
       .filter(col("seed_year") === 2015) // one year slice keeps the test fast
   }
 
@@ -114,6 +114,38 @@ class BatchSinkSpec extends AnyFunSuite {
       .groupBy(col("qtype")).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(back == direct, s"feed=$back direct=$direct")
+  }
+
+  test("raw feed honors F9 key-order provenance: solution before answer (m01)") {
+    import graft.functions.QuestionParser
+    val html = new String(Files.readAllBytes(Paths.get(
+      "src/test/resources/golden/manual/m01_light_to_electrical.html")),
+      StandardCharsets.UTF_8)
+    val parse = udf((h: String) => QuestionParser.parsePage(h))
+    import spark.implicits._
+    val q = Seq(("https://h.example.test/bece/questions/science-2015/c0/p0", html))
+      .toDF("url", "html")
+      .withColumn("seed_subject", lit("science"))
+      .withColumn("seed_year", lit(2015))
+      .withColumn("p", parse(col("html")))
+      .select(col("url"), col("seed_subject"), col("seed_year"),
+        posexplode(col("p.questions")).as(Seq("pos", "q")))
+      .select(col("url"), col("seed_subject"), col("seed_year"), col("pos"),
+        col("q.section"), col("q.qtype"), col("q.number"), col("q.question"),
+        col("q.options"), col("q.subparts"), col("q.diagrams"),
+        col("q.answer"), col("q.solution"), col("q.answer_after_solution"))
+    val out = Files.createTempDirectory("graft-f9-order").toString
+    val Seq((jsonP, _)) = BatchSink.writeRawFeeds(spark, q, out)
+    val feed = new String(Files.readAllBytes(Paths.get(jsonP)), StandardCharsets.UTF_8)
+    assert(feed.indexOf("\"solution\"") >= 0 && feed.indexOf("\"answer\"") >= 0)
+    assert(feed.indexOf("\"solution\"") < feed.indexOf("\"answer\""),
+      "F9-with-solution item must emit ..., solution, answer")
+    // and the restructured JSON (jsonRow path) does the same
+    val dirs = BatchSink.writeBatchOutputs(spark, q, out)
+    val sj = new String(Files.readAllBytes(Paths.get(dirs.head,
+      Paths.get(dirs.head).getFileName.toString + ".json")), StandardCharsets.UTF_8)
+    assert(sj.indexOf("\"solution\"") < sj.indexOf("\"answer\""))
+    assert(!sj.contains("answer_after_solution"), "the directive field must not render")
   }
 
   test("retry with exponential backoff doubles delays and stops at success") {

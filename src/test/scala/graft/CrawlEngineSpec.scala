@@ -174,6 +174,61 @@ class CrawlEngineSpec extends AnyFunSuite {
       s"missing=${(expected -- crawled).take(3)} extra=${(crawled -- expected).take(3)}")
   }
 
+  test("bloom saturation (VERDICT r02): crossing bloomExpected stays exact, " +
+       "filter reports saturated, pre-filter bypassed") {
+    // bloomExpected=64 is crossed in wave 0 at this scale: every later wave
+    // runs with the pre-filter bypassed — digests must still equal the
+    // reference run's (the confirm tier carries full dedup).
+    val tiny = CrawlEngine.Config(bloomExpected = 64L)
+    val sS = freshStore("bloomsat")
+    val rS = CrawlEngine.run(spark, sf, sS, tiny.copy(strategy = SeenSet.BloomExact))
+    assert(rS.seenDigest == result.seenDigest && rS.fetched == result.fetched &&
+      rS.deduped == result.deduped)
+    assert(CrawlEngine.traceDigest(spark, sS) == CrawlEngine.traceDigest(spark, store))
+    val loaded = SeenSet.Bloom.load(spark, s"$sS/bloom").get._2
+    assert(loaded.saturated && loaded.inserted > 64L,
+      s"persisted filter must report saturation (inserted=${loaded.inserted})")
+    // same under the cuckoo confirm tier
+    val sSC = freshStore("bloomsat-cuckoo")
+    val rSC = CrawlEngine.run(spark, sf, sSC, tiny.copy(strategy = SeenSet.BloomCuckoo))
+    assert(rSC.seenDigest == result.seenDigest && rSC.fetched == result.fetched)
+  }
+
+  test("NULL html routes to status='error', never the parse UDF (ADVICE r02)") {
+    import spark.implicits._
+    // poison ONE chain-tail page (page_idx 3 on an allowed host): only that
+    // url errors; the rest of its chain still crawls
+    val target = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").as[Long].collect()
+      .filter(id => PagesGen.pageIdxOf(id) == 3 && PagesGen.hostIdOf(id) != 13)
+      .min
+    val targetUrl = PagesGen.urlOf(target)
+    val dir = freshStore("nullhtml") + "/pages"
+    PagesGen.pages(spark, sf).toDF()
+      .withColumn("html",
+        when(col("url") === targetUrl, lit(null).cast("binary")).otherwise(col("html")))
+      .write.parquet(dir)
+    val sN = freshStore("nullhtml-store")
+    val rN = CrawlEngine.run(spark, sf, sN,
+      CrawlEngine.Config(pagesPath = Some(dir)))
+    assert(rN.errors == 1, s"expected exactly the poisoned url as error, got ${rN.errors}")
+    assert(rN.fetched == result.fetched - 1)
+    val errUrls = new graft.plans.SnapshotTable(spark, sN, "fetchlog").read()
+      .filter(col("status") === "error").select("url").as[String].collect()
+    assert(errUrls.toSeq == Seq(targetUrl))
+  }
+
+  test("bucketed staging rejects duplicate urls (fetch-join key contract)") {
+    import spark.implicits._
+    val dup = Seq(("https://a/x", "h"), ("https://a/x", "h2"), ("https://a/y", "h3"))
+      .toDF("url", "html")
+    val dir = freshStore("dupstage")
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.BucketedTable.write(dup, s"$dir/t", "graft_dup_test", "url", 4)
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
   test("questions were extracted during the crawl") {
     val q = new graft.plans.SnapshotTable(spark, store, "questions").read()
     assert(q.count() > 0)

@@ -28,7 +28,7 @@ class EnrichmentSpec extends AnyFunSuite {
       .select(col("url"), col("seed_subject"), col("seed_year"), col("pos"),
         col("q.section"), col("q.qtype"), col("q.number"), col("q.question"),
         col("q.options"), col("q.subparts"), col("q.diagrams"),
-        col("q.answer"), col("q.solution"))
+        col("q.answer"), col("q.solution"), col("q.answer_after_solution"))
       .filter(col("seed_year").isin(2015, 2016, 2017))
   }
 
@@ -132,6 +132,56 @@ class EnrichmentSpec extends AnyFunSuite {
     // the enriched tree round-trips: every batch already up to date
     val cls = Enrichment.classify(Enrichment.scanBatchState(spark, out)).collect()
     assert(cls.forall(_.getAs[String]("outcome") == "current"))
+  }
+
+  test("workflow config gate (VERDICT r02 #10): invalid/disabled config skips every item") {
+    import graft.operators.ScreenshotWorkflow.ScreenshotConfig
+    val out = writeTree()
+    val items = itemsOf(out)
+    // from_env with no credentials: enabled but invalid → load_config demotes
+    // to disabled (screenshot_config.py:178-190) → every item skipped
+    val noCreds = ScreenshotConfig.fromEnv(Map.empty)
+    assert(noCreds.enabled && noCreds.validationErrors.exists(_.contains("IMAGEKIT_PUBLIC_KEY")))
+    assert(!noCreds.effective.enabled)
+    val before = read(s"$out/${items.head.subject}_${items.head.year}/" +
+      s"${items.head.subject}_${items.head.year}_metadata.json")
+    val results = ScreenshotWorkflow.processBatch(spark, items, out,
+      config = noCreds).cache()
+    val rows = results.collect()
+    assert(rows.forall(r => r.getAs[Boolean]("skipped") && !r.getAs[Boolean]("ok")))
+    assert(rows.forall(_.getAs[String]("skip_reason")
+      .contains("Missing required environment variables")))
+    assert(rows.forall(r => r.getAs[Int]("capture_attempts") == 0))
+    // no stage ran: artifacts untouched
+    assert(read(s"$out/${items.head.subject}_${items.head.year}/" +
+      s"${items.head.subject}_${items.head.year}_metadata.json") == before)
+    val tally = ScreenshotWorkflow.batchTally(results).head()
+    assert(tally.getAs[Long]("skipped_items") == items.length.toLong)
+    assert(tally.getAs[Long]("successful") == 0L &&
+      tally.getAs[Long]("enriched_batches") == 0L)
+    // explicit disable works even with valid creds
+    val disabled = ScreenshotConfig().copy(enabled = false)
+    val r2 = ScreenshotWorkflow.processBatch(spark, items.take(1), out, config = disabled)
+    assert(r2.head().getAs[String]("skip_reason") == "screenshot functionality disabled")
+    // the reference's other validation rules fire too
+    assert(ScreenshotConfig().copy(browserType = "ie6").validationErrors
+      .exists(_.contains("Invalid browser type")))
+    assert(ScreenshotConfig().copy(viewportWidth = 0).validationErrors
+      .exists(_.contains("Viewport")))
+    assert(ScreenshotConfig().copy(timeoutMs = -1).validationErrors
+      .exists(_.contains("Timeout")))
+    assert(ScreenshotConfig().copy(pdfQuality = 101).validationErrors
+      .exists(_.contains("PDF quality")))
+    // a valid default config stays enabled
+    assert(ScreenshotConfig().effective.enabled)
+  }
+
+  test("workflow reports enriched=false when no batch artifacts exist (ADVICE r02)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-noart").toString
+    val item = ScreenshotWorkflow.Item("ghost", 1999, "https://kuulchat.com/x/ghost_1999/")
+    val r = ScreenshotWorkflow.processUrl(item, tmp)
+    assert(r.ok && r.upload_ok, "capture/upload still succeed")
+    assert(!r.enriched, "enriched must not be vacuously true with zero artifacts")
   }
 
   test("workflow retry accounting: flaky capture recovers, dead upload short-circuits") {

@@ -52,4 +52,37 @@ class GoldenFixtureSpec extends AnyFunSuite {
       assert(canonical(html) == expected)
     }
   }
+
+  // --- dict-INSERTION-order goldens (F9 key-order provenance, ADVICE r01) ---
+  // `*.ordered.json` preserves the CPython oracle's dict insertion order —
+  // including the html-fallback case where `answer` lands AFTER `solution`
+  // (core/main.py:177-183). Json.question must reproduce it byte-for-byte.
+
+  private def ordered(html: String): String = {
+    val parsed = QuestionParser.parsePage(html)
+    Json.obj(Seq(
+      "text" -> Json.str(Extract.pageText(html)),
+      "next" -> (if (parsed.next == null) "null" else Json.str(parsed.next)),
+      "questions" -> Json.arr(parsed.questions.map(Json.question))))
+  }
+
+  htmlFiles.foreach { f =>
+    val name = f.getFileName.toString
+    test(s"byte-identical key ORDER: $name") {
+      val html = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+      val expectedPath = Paths.get(f.toString.stripSuffix(".html") + ".ordered.json")
+      val expected = new String(Files.readAllBytes(expectedPath), StandardCharsets.UTF_8)
+      assert(ordered(html) == expected)
+    }
+  }
+
+  test("F9 fallback with an existing solution orders answer AFTER solution (m01)") {
+    val html = new String(Files.readAllBytes(
+      Paths.get("src/test/resources/golden/manual/m01_light_to_electrical.html")),
+      StandardCharsets.UTF_8)
+    val q = QuestionParser.parsePage(html).questions.head
+    assert(q.answer == "B" && q.solution != null && q.answer_after_solution)
+    val j = Json.question(q)
+    assert(j.indexOf("\"solution\"") < j.indexOf("\"answer\""))
+  }
 }

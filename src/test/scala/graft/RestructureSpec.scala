@@ -25,7 +25,7 @@ class RestructureSpec extends AnyFunSuite {
       .select(col("url"), col("seed_subject"), col("seed_year"), col("pos"),
         col("q.section"), col("q.qtype"), col("q.number"), col("q.question"),
         col("q.options"), col("q.subparts"), col("q.diagrams"),
-        col("q.answer"), col("q.solution"))
+        col("q.answer"), col("q.solution"), col("q.answer_after_solution"))
     df.cache()
   }
 

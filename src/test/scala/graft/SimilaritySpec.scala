@@ -89,6 +89,74 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.head.getAs[Long]("id_a") == 1L && pairs.head.getAs[Long]("id_b") == 2L)
   }
 
+  test("ngramJaccard hot-block cap: bounded pairs + logged drop (VERDICT r02 #7)") {
+    import spark.implicits._
+    // one pathological block: 50 identical docs → 1225 pairs unbounded
+    val hot = (1 to 50).map(i => (i.toLong, "the same exact text every time", "s"))
+      .toDF("doc_id", "text", "source")
+    assert(Dedup.ngramJaccard(hot, threshold = 0.6).count() == 50L * 49 / 2)
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val old = System.err
+    val capped =
+      try {
+        System.setErr(new java.io.PrintStream(errBuf, true))
+        Dedup.ngramJaccard(hot, threshold = 0.6, maxBlock = Some(10)).collect()
+      } finally System.setErr(old)
+    // lowest 10 ids survive per band → exactly C(10,2) pairs
+    assert(capped.length == 45, s"expected 45 capped pairs, got ${capped.length}")
+    assert(capped.forall(r => r.getAs[Long]("id_a") <= 10 && r.getAs[Long]("id_b") <= 10))
+    val log = errBuf.toString
+    assert(log.contains("hot-block cap 10 dropped"), s"drop must be logged, got: $log")
+  }
+
+  // --- ANN recall gates vs exact ground truth (VERDICT r02 #1 of 'missing') --
+  // Real corpus (sf0.01 embeddings: 500 × 64-dim), 20 queries × top-3. The
+  // bounds are the published engine contract (BASELINE.md): a bucketing
+  // regression that halves recall fails here, not in production.
+
+  private lazy val realEmb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame,
+                      a: String, b: String): Set[(Long, Long)] =
+    df.collect().map(r => (r.getAs[Long](a), r.getAs[Long](b))).toSet
+
+  test("annTopK / ivfTopK recall@3 >= 0.8 vs bruteForceTopK on real embeddings") {
+    val queries = realEmb.filter(col("vec_id") < 20)
+    val corpus = realEmb.filter(col("vec_id") >= 20)
+    val truth = pairSet(Similarity.bruteForceTopK(queries, corpus, 3),
+      "query_id", "neighbor_id")
+    assert(truth.size == 60)
+    // nPlanes sized to the corpus (2^4 = 16 buckets over 480 vectors — see
+    // annTopK scaladoc), 1-flip multi-probe: the published configuration.
+    val ann = pairSet(Similarity.annTopK(queries, corpus, 3, nPlanes = 4),
+      "query_id", "neighbor_id")
+    val ivf = pairSet(Similarity.ivfTopK(queries, corpus, 3, nCells = 16,
+      nProbe = 8, corpusAssign = 2), "query_id", "neighbor_id")
+    val annRecall = (truth & ann).size.toDouble / truth.size
+    val ivfRecall = (truth & ivf).size.toDouble / truth.size
+    info(f"recall@3: annTopK=$annRecall%.3f ivfTopK=$ivfRecall%.3f (bound 0.8)")
+    assert(annRecall >= 0.8, f"annTopK recall@3 $annRecall%.3f < 0.8")
+    assert(ivfRecall >= 0.8, f"ivfTopK recall@3 $ivfRecall%.3f < 0.8")
+    // the round-2 regression this gate exists to catch: oversized plane count
+    val shattered = pairSet(Similarity.annTopK(queries, corpus, 3,
+      nPlanes = 8, probeFlips = 0), "query_id", "neighbor_id")
+    val shatteredRecall = (truth & shattered).size.toDouble / truth.size
+    info(f"  (8 planes, no probing: recall@3=$shatteredRecall%.3f — the r2 config)")
+  }
+
+  test("cosineNearDupLsh pair-recall >= 0.8 vs exact all-pairs on real embeddings") {
+    val exact = pairSet(Similarity.cosineNearDup(
+      realEmb.withColumn("blk", lit(1)), 0.3, blockCol = "blk"), "id_a", "id_b")
+    assert(exact.size > 500, s"ground truth too thin: ${exact.size}")
+    val lsh = pairSet(Similarity.cosineNearDupLsh(realEmb, 0.3, nPlanes = 4),
+      "id_a", "id_b")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    // precision is exact by construction (cosine verified in-bucket)
+    assert((lsh -- exact).isEmpty)
+    info(f"cosineNearDupLsh pair-recall=$recall%.3f over ${exact.size} true pairs (bound 0.8)")
+    assert(recall >= 0.8, f"pair-recall $recall%.3f < 0.8")
+  }
+
   // --- SimHash 4-band recall -------------------------------------------------
 
   private def simCorpus = {

@@ -26,6 +26,14 @@ class TextAnalysisSpec extends AnyFunSuite {
         TextAnalysis.fingerprint(col("text")).as("fp"),
         TextAnalysis.fingerprintHof(col("text")).as("fp_hof"))
     assert(real.filter(col("fp") =!= col("fp_hof")).count() == 0)
+    // null parity (ADVICE r02): both formulations yield NULL on null text
+    val withNull = Seq((0L, Option("x y")), (1L, None))
+      .toDF("doc_id", "text")
+      .select(TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.fingerprintHof(col("text")).as("fp_hof"))
+      .collect()
+    assert(withNull.forall(r => r.isNullAt(0) == r.isNullAt(1)))
+    assert(withNull.exists(_.isNullAt(0)), "null text must map to null fingerprint")
   }
 
   test("langIdFeatures guess is the (score, lang)-max — ties break to the later lang") {

@@ -384,13 +384,21 @@ def parse_page(html_str):
 def main():
     import pathlib
     d = pathlib.Path(sys.argv[1])
-    canonical = len(sys.argv) > 2 and sys.argv[2] == "--canonical"
+    mode = sys.argv[2] if len(sys.argv) > 2 else ""
     for f in sorted(d.glob("*.html")):
         page = parse_page(f.read_text(encoding="utf-8"))
-        if canonical:
-            # compact, insertion-ordered — byte-comparable with graft.util.Json
+        if mode == "--canonical":
+            # compact, sorted keys — byte-comparable with Json.canonicalQuestion
             out = f.with_suffix(".json")
             out.write_text(json.dumps(page, ensure_ascii=False, sort_keys=True,
+                                      separators=(",", ":")),
+                           encoding="utf-8")
+        elif mode == "--ordered":
+            # compact, dict-INSERTION order preserved — the reference's true
+            # key order (incl. the F9 fallback's ..., solution, answer);
+            # byte-comparable with Json.question
+            out = pathlib.Path(str(f)[:-5] + ".ordered.json")
+            out.write_text(json.dumps(page, ensure_ascii=False,
                                       separators=(",", ":")),
                            encoding="utf-8")
         else:
