@@ -218,6 +218,22 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(errUrls.toSeq == Seq(targetUrl))
   }
 
+  test("bucketed-table crawl (deferred observe-counts path) matches the reference digests") {
+    // the bench configuration end-to-end: pages staged bucketed, fetch join
+    // sort-merge with zero pages exchange, disposition tallies riding the
+    // parse job as CollectMetrics — must terminate AND produce identical
+    // digests to the broadcast-shape reference run
+    val base = freshStore("bucketed-crawl")
+    graft.plans.BucketedTable.write(PagesGen.pages(spark, sf).toDF(),
+      s"$base/pages", "graft_pages_spec", "url", 8)
+    val sB = freshStore("bucketed-store")
+    val rB = CrawlEngine.run(spark, sf, sB,
+      CrawlEngine.Config(pagesTable = Some("graft_pages_spec")))
+    assert(rB.seenDigest == result.seenDigest && rB.fetched == result.fetched &&
+      rB.deduped == result.deduped && rB.errors == result.errors)
+    assert(CrawlEngine.traceDigest(spark, sB) == CrawlEngine.traceDigest(spark, store))
+  }
+
   test("bucketed staging rejects duplicate urls (fetch-join key contract)") {
     import spark.implicits._
     val dup = Seq(("https://a/x", "h"), ("https://a/x", "h2"), ("https://a/y", "h3"))
