@@ -42,11 +42,23 @@ object Bench {
     s
   }
 
+  /** Recursive delete — bench staging is GBs per run and a bench leaves
+    * ~10 GB of stage + store trees behind otherwise (this filled the round-3
+    * sandbox disk to 100% with two rounds of leaked trees).
+    */
+  private def deleteTree(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(x => java.nio.file.Files.deleteIfExists(x))
+  }
+
   /** Stage the amplified pages corpus once (untimed, shared by all runs):
     * a plain parquet dir (ceiling probe) and the bucketed fetch-join table
     * (url-hashed, one sorted file per bucket — the 10^10-scale join shape).
+    * Returns (pagesDir, bucketDir, baseDir-to-delete-at-exit).
     */
-  private def stagePages(sfDir: String, amplify: Int): (String, String) = {
+  private def stagePages(sfDir: String, amplify: Int): (String, String, String) = {
     val base = java.nio.file.Files.createTempDirectory("graft-bench-pages").toString
     val dir = s"$base/pages"
     val bucketDir = s"$base/pages_bucketed"
@@ -56,7 +68,7 @@ object Bench {
     graft.plans.BucketedTable.write(spark.read.parquet(dir), bucketDir,
       "graft_pages_stage", "url", 64)
     spark.stop()
-    (dir, bucketDir)
+    (dir, bucketDir, base)
   }
 
   /** One timed crawl at `cpus` threads with the given seen-set tier.
@@ -87,6 +99,7 @@ object Bench {
     val r = CrawlEngine.run(spark, sfDir, store, cfg)
     val sec = (System.nanoTime() - t0) / 1e9
     spark.stop()
+    deleteTree(store) // ~1 GB of fetchlog/questions per crawl — never keep
     (sec, r.fetched + r.deduped, r.seenDigest)
   }
 
@@ -144,7 +157,8 @@ object Bench {
 
     var extra = ""
     if (!skipScaling) {
-      val (pagesDir, bucketDir) = stagePages(sfDir, amplify)
+      val (pagesDir, bucketDir, stageBase) = stagePages(sfDir, amplify)
+      try {
       // warm the page cache + JIT with one extract pass, then measure the
       // ceiling probe and the crawl INTERLEAVED (8,32,8,32,…) so drift hits
       // both levels equally; medians over reps
@@ -168,6 +182,7 @@ object Bench {
       val ceilingSpeedup = ce8 / ce32
       def arr(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
       extra = f""","seen_tier":"bloom_cuckoo","crawl_urls_per_sec_8":${round2(thr8)},"crawl_urls_per_sec_32":${round2(thr32)},"scaling_efficiency":${round3(crawlSpeedup / 4.0)},"cpu_ceiling_speedup_8_to_32":${round3(ceilingSpeedup)},"scaling_efficiency_vs_ceiling":${round3(crawlSpeedup / ceilingSpeedup)},"extract_pages_per_sec_32":${round2(np / ce32)},"scaling_digests_equal":${digests.distinct.size == 1},"bloomexact_urls_per_sec_32":${round2(exUrls / exSec)},"tier_digests_equal":${(digests :+ exDigest).distinct.size == 1},"reps":$reps,"crawl_secs_8":${arr(crawls.map(_._1._1))},"crawl_secs_32":${arr(crawls.map(_._2._1))},"bloomexact_secs_32":[${round2(exSec)}],"ceiling_secs_8":${arr(ceil.map(_._1._1))},"ceiling_secs_32":${arr(ceil.map(_._2._1))},"amplify":$amplify"""
+      } finally deleteTree(stageBase)
     }
 
     val qs = results.map { case (k, v, _) => "\"" + k + f"""":$v%.3f""" }

@@ -57,5 +57,10 @@ object MegaWave {
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"""megawave cpus=$cpus urls=${r.fetched + r.deduped} sec=$sec%.2f thr=${(r.fetched + r.deduped) / sec}%.1f digest=${r.seenDigest}""")
     spark.stop()
+    // the store is ~1 GB per probe run; the staged pages dirs are the only
+    // trees meant to persist (shared across invocations)
+    java.nio.file.Files.walk(java.nio.file.Paths.get(store))
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(x => java.nio.file.Files.deleteIfExists(x))
   }
 }
