@@ -58,12 +58,18 @@ object SeenSet {
     * counters persist with the bits, so a resumed run keeps the policy.
     */
   final class Bloom(var expected: Long, fpp: Double) extends Serializable {
-    var filter: BloomFilter = BloomFilter.create(expected, fpp)
+    /** null until the first wave merges — the filter is ADOPTED from the
+      * first distributed (`stat.bloomFilter`) build rather than pre-created:
+      * Spark 4's driver-side `BloomFilter.create` and the aggregate-built
+      * filter can disagree on hash-function count for non-power-of-two
+      * `expected` (`BloomFilterImplV2.checkCompatibilityForMerge` throws),
+      * so the engine only ever merges stat-built filters of identical
+      * (expected, fpp) into each other.
+      */
+    var filter: BloomFilter = null
     var inserted: Long = 0L
     def saturated: Boolean = inserted > expected
-    def addWave(hashes: Array[Long]): Unit = {
-      hashes.foreach(filter.putLong); inserted += hashes.length
-    }
+    def isUnbuilt: Boolean = filter == null
     /** Merge a distributed-built wave filter of `n` inserts (must share
       * (expected, fpp) so the bit arrays are compatible). Skipped once
       * saturated — the engine no longer probes a saturated filter, so
@@ -71,15 +77,20 @@ object SeenSet {
       * is monotone across resume.
       */
     def merge(other: BloomFilter, n: Long): Unit = {
-      if (!saturated) filter.mergeInPlace(other)
+      if (!saturated) {
+        if (filter == null) filter = other else filter.mergeInPlace(other)
+      }
       inserted += n
     }
     def save(spark: SparkSession, dir: String, wave: Int): Unit = {
       val p = new Path(dir, f"bloom_v$wave%05d.bin")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val out = fs.create(p, true)
-      try { out.writeLong(inserted); out.writeLong(expected); filter.writeTo(out) }
-      finally out.close()
+      try {
+        out.writeLong(inserted); out.writeLong(expected)
+        out.writeBoolean(filter != null)
+        if (filter != null) filter.writeTo(out)
+      } finally out.close()
     }
   }
 
@@ -106,7 +117,7 @@ object SeenSet {
         try {
           b.inserted = in.readLong()
           b.expected = in.readLong()
-          b.filter = BloomFilter.readFrom(in)
+          if (in.readBoolean()) b.filter = BloomFilter.readFrom(in)
         } finally in.close()
         Some((v, b))
       }
@@ -122,10 +133,13 @@ object SeenSet {
       candidates("url_hash") === col("seen_hash"), "left_anti")
 
   /** Bloom split: (definitely-new, suspects). No shuffle — a broadcast-udf
-    * filter that prunes the confirm join's build side.
+    * filter that prunes the confirm join's build side. An unbuilt filter
+    * (no wave merged yet) represents the empty set: everything is
+    * definitely-new, no broadcast at all.
     */
   def bloomSplit(spark: SparkSession, candidates: DataFrame, bloom: Bloom)
       : (DataFrame, DataFrame) = {
+    if (bloom.isUnbuilt) return (candidates, candidates.limit(0))
     val bc = spark.sparkContext.broadcast(bloom.filter)
     val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
     (candidates.filter(!mightContain(col("url_hash"))),

@@ -194,6 +194,18 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(rSC.seenDigest == result.seenDigest && rSC.fetched == result.fetched)
   }
 
+  test("non-power-of-two bloomExpected crawls clean (Spark 4 V2-filter merge regression)") {
+    // 6,553,600 is the bench's amplify-sized value that made driver-created
+    // and aggregate-built filters disagree on hash-function count
+    // (BloomFilterImplV2.checkCompatibilityForMerge); the filter is now
+    // adopted from the first stat build, so only same-construction merges
+    // ever happen.
+    val sNp = freshStore("bloom-nonpow2")
+    val rNp = CrawlEngine.run(spark, sf, sNp,
+      CrawlEngine.Config(bloomExpected = 6553600L))
+    assert(rNp.seenDigest == result.seenDigest && rNp.fetched == result.fetched)
+  }
+
   test("NULL html routes to status='error', never the parse UDF (ADVICE r02)") {
     import spark.implicits._
     // poison ONE chain-tail page (page_idx 3 on an allowed host): only that
