@@ -49,7 +49,12 @@ object CrawlEngine {
       cuckooPerShardCapacity: Long = 1L << 20,
       bloomExpected: Long = 1L << 22,
       bloomFpp: Double = 0.01,
-      strategy: SeenSet.Strategy = SeenSet.BloomExact,
+      // BloomCuckoo is the default since round 3: measured equal-cost to
+      // BloomExact at bench scale (36.6k vs 37.6k urls/s @32, BENCH r03,
+      // digest-identical), and it is the only tier whose confirm cost does
+      // NOT grow with crawl history (BloomExact re-scans the fetchlog's
+      // prior waves every wave — a full-history scan at 10^10 urls).
+      strategy: SeenSet.Strategy = SeenSet.BloomCuckoo,
       maxWaves: Int = 64,
       parseQuestions: Boolean = true,
       amplify: Int = 1,
