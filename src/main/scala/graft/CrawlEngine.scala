@@ -210,7 +210,7 @@ object CrawlEngine {
     var warnedSaturation = false
     // driver threads for concurrent state-commit jobs (see the commit block
     // below); daemon so a crashed run never hangs the JVM on this pool
-    val commitPool = java.util.concurrent.Executors.newFixedThreadPool(4,
+    val commitPool = java.util.concurrent.Executors.newFixedThreadPool(5,
       (r: Runnable) => { val t = new Thread(r, "graft-commit"); t.setDaemon(true); t })
     val commitEc = scala.concurrent.ExecutionContext.fromExecutorService(commitPool)
     try {
@@ -421,10 +421,6 @@ object CrawlEngine {
                 SeenSet.cuckooInsert(spark, fetchSlice.select("url_hash").as[Long],
                   cuckooT, cfg.cuckooShards, cfg.cuckooPerShardCapacity, wave)
               })
-          val running = commits.map(f => Future(f())(commitEc))
-          running.foreach(fut =>
-            Await.result(fut, scala.concurrent.duration.Duration.Inf))
-
           // ---- next frontier: deferred ∪ discovered links (S4) ----
           val discovered = okParsed
             .filter(col("p.next").isNotNull)
@@ -449,11 +445,20 @@ object CrawlEngine {
               col("m.seed_year"))
           // commit unconditionally — no emptiness-probe count() job: an empty
           // frontier just makes the next iteration's candidate count 0, which
-          // ends the loop (one cheap empty pass instead of a per-wave job)
-          phase("frontier", System.nanoTime()) {
-            frontierT.commit(nextFrontier.select(frontierCols.map(col): _*),
-              wave + 1, append = false)
-          }
+          // ends the loop (one cheap empty pass instead of a per-wave job).
+          // The frontier's data WRITE runs concurrently with the state
+          // commits above (it's invisible until published); only its
+          // manifest PUBLISH — the actual wave advance, a millisecond
+          // rename — waits for the barrier, preserving the resume invariant.
+          val frontierStage = Future(phase("frontier-stage", System.nanoTime()) {
+            frontierT.stage(nextFrontier.select(frontierCols.map(col): _*), wave + 1)
+          })(commitEc)
+          val running = commits.map(f => Future(f())(commitEc))
+          running.foreach(fut =>
+            Await.result(fut, scala.concurrent.duration.Duration.Inf))
+          val stagedDir = Await.result(frontierStage,
+            scala.concurrent.duration.Duration.Inf)
+          frontierT.publishStaged(stagedDir, wave + 1, append = false)
 
           okParsed.unpersist(); waveLog.unpersist()
           if (timing) System.err.println(

@@ -74,14 +74,24 @@ final class SnapshotTable(spark: SparkSession, root: String, name: String) {
     spark.read.parquet(dirs: _*)
   }
 
-  /** Commit `df` as partition `wave=<wave>`. `append=false` → the new
-    * snapshot sees ONLY this wave (frontier semantics: full replace);
-    * `append=true` → previous dirs + this one (seen/lineage/questions logs).
+  /** Stage this wave's data files WITHOUT publishing them: writes the
+    * parquet but no manifest, so readers cannot see it and a crash leaves
+    * only an orphan dir (overwritten on replay). Lets the expensive write
+    * job overlap other work while the cheap, ordering-sensitive manifest
+    * publish ([[publishStaged]]) happens at the right barrier.
     */
-  def commit(df: DataFrame, wave: Int, metaKv: Map[String, String] = Map.empty,
-             append: Boolean = true): Unit = {
+  def stage(df: DataFrame, wave: Int): String = {
     val dataDir = new Path(base, s"data/wave=$wave").toString
     df.write.mode(SaveMode.Overwrite).parquet(dataDir)
+    dataDir
+  }
+
+  /** Publish a [[stage]]d dir as the next snapshot — manifest-only (a file
+    * write + atomic rename, milliseconds; no Spark job).
+    */
+  def publishStaged(dataDir: String, wave: Int,
+                    metaKv: Map[String, String] = Map.empty,
+                    append: Boolean = true): Unit = {
     val prevDirs: Seq[String] =
       if (append) latestVersion.map(readManifest(_)._1).getOrElse(Nil) else Nil
     val dirs = (prevDirs.filterNot(_ == dataDir) :+ dataDir)
@@ -96,6 +106,14 @@ final class SnapshotTable(spark: SparkSession, root: String, name: String) {
     if (!fs.rename(tmp, manifestPath(v)))
       throw new IllegalStateException(s"snapshot commit race on $name v$v")
   }
+
+  /** Commit `df` as partition `wave=<wave>`. `append=false` → the new
+    * snapshot sees ONLY this wave (frontier semantics: full replace);
+    * `append=true` → previous dirs + this one (seen/lineage/questions logs).
+    */
+  def commit(df: DataFrame, wave: Int, metaKv: Map[String, String] = Map.empty,
+             append: Boolean = true): Unit =
+    publishStaged(stage(df, wave), wave, metaKv, append)
 
   def isEmpty: Boolean = latestVersion.isEmpty ||
     readManifest(latestVersion.get)._1.isEmpty
