@@ -49,11 +49,11 @@ object CrawlEngine {
       cuckooPerShardCapacity: Long = 1L << 20,
       bloomExpected: Long = 1L << 22,
       bloomFpp: Double = 0.01,
-      // BloomCuckoo is the default since round 3: measured equal-cost to
-      // BloomExact at bench scale (36.6k vs 37.6k urls/s @32, BENCH r03,
-      // digest-identical), and it is the only tier whose confirm cost does
-      // NOT grow with crawl history (BloomExact re-scans the fetchlog's
-      // prior waves every wave — a full-history scan at 10^10 urls).
+      // BloomCuckoo is the default since round 3: measured within ~3-7% of
+      // BloomExact at bench scale (37.8k vs 40.8k urls/s @32 in the final
+      // r03 run, digest-identical), and it is the only tier whose confirm
+      // cost does NOT grow with crawl history (BloomExact re-scans the
+      // fetchlog's prior waves every wave — a full-history scan at 10^10).
       strategy: SeenSet.Strategy = SeenSet.BloomCuckoo,
       maxWaves: Int = 64,
       parseQuestions: Boolean = true,
