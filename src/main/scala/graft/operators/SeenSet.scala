@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
 
 import graft.plans.SnapshotTable
-import graft.util.CuckooFilter
+import graft.util.CuckooChain
 
 /** URL-seen set (SURVEY §2.3 J4, §2.9; north rule's bloom/cuckoo pipeline).
   *
@@ -25,8 +25,20 @@ import graft.util.CuckooFilter
   *     (`pmod(url_hash, P)`), each merged per wave via a cogroup (shard blob
   *     meets its wave inserts on the same reducer — never broadcast, never
   *     driver-collected). O(1) memory probes instead of scanning the seen
-  *     log; ~1.2e-4 false-positive rate (a false positive skips a fetch), no
-  *     false negatives. Bench tier for the 10^10-scale path.
+  *     log; ~1.2e-4 false-positive rate per chain link (a false positive
+  *     skips a fetch — see CrawlEngine.Config.strategy for the loss bound),
+  *     no false negatives. The explicit opt-in tier for the 10^10-scale
+  *     path, and Bench's primary measured tier.
+  *
+  * Cuckoo state I/O is O(touched shards), not O(seen set), per wave: inserts
+  * commit only the shards that received hashes ([[SnapshotTable.commitSharded]]
+  * carries untouched shards' files forward at the manifest level), and once
+  * the state is big enough to matter both probe and insert prune their blob
+  * read to the shards the wave can touch (an extra tiny distinct-shards job,
+  * paid only past `probePruneBytes` — below it, reading everything is cheaper
+  * than planning the pruned scan). A shard that outgrows `perShardCapacity`
+  * grows gracefully by chaining a larger filter ([[graft.util.CuckooChain]])
+  * instead of the round-3 mid-wave executor exception.
   *
   * Dedup analogs in the reference: Scrapy's request dupefilter (implicit),
   * diagram seen-set `/root/reference/core/main.py:344-351`, theory number
@@ -87,6 +99,7 @@ object SeenSet {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val out = fs.create(p, true)
       try {
+        out.writeLong(Bloom.Magic); out.writeInt(Bloom.Version)
         out.writeLong(inserted); out.writeLong(expected)
         out.writeBoolean(filter != null)
         if (filter != null) filter.writeTo(out)
@@ -95,6 +108,15 @@ object SeenSet {
   }
 
   object Bloom {
+    /** "GRAFTBLM" — disambiguates the header from both legacy layouts
+      * (ADVICE r03): the round-3 header began with a raw `inserted` count
+      * and the round-2 file was a bare Spark BloomFilter stream; neither can
+      * start with this value, so a non-magic first word is a reliable
+      * incompatibility signal instead of a silent misparse.
+      */
+    val Magic: Long = 0x4752414654424C4DL
+    val Version: Int = 1
+
     /** Load the newest persisted filter below `maxWaveExclusive` (replay
       * safety: a filter saved by a crashed attempt of the wave being replayed
       * is skipped — it would only add false positives, but the pre-crash
@@ -112,9 +134,18 @@ object SeenSet {
       if (vs.isEmpty) None
       else {
         val v = vs.max
-        val in = fs.open(new Path(d, f"bloom_v$v%05d.bin"))
+        val p = new Path(d, f"bloom_v$v%05d.bin")
+        val in = fs.open(p)
         val b = new Bloom(1, 0.5)
         try {
+          if (in.readLong() != Magic) throw new IllegalStateException(
+            s"incompatible bloom snapshot $p (pre-v1 layout or foreign " +
+              "bytes) — the pre-filter's bits are load-bearing for dedup " +
+              "(a lost filter re-fetches seen urls); resume requires a " +
+              "compatible store, start a fresh crawl store")
+          val ver = in.readInt()
+          if (ver != Version) throw new IllegalStateException(
+            s"bloom snapshot $p has version $ver, this engine reads $Version")
           b.inserted = in.readLong()
           b.expected = in.readLong()
           if (in.readBoolean()) b.filter = BloomFilter.readFrom(in)
@@ -153,22 +184,50 @@ object SeenSet {
     cuckooFlagged(spark, candidates, shardTable, shards, asOfWaveExclusive)
       .filter(!col("is_seen")).drop("is_seen")
 
-  /** Shard state as of the snapshot committed strictly before `waveExclusive`
-    * — on a mid-wave crash replay this skips the crashed attempt's insert, so
-    * the replay flags exactly what the original attempt flagged.
+  /** Shard blobs read by the last probe/insert on this JVM — test and
+    * diagnostic instrumentation for the pruned-read path (the per-wave
+    * figure the 10^10 I/O story rests on); -1 until a cuckoo op runs.
+    */
+  @volatile var lastBlobDirsRead: Int = -1
+
+  /** I/O threshold below which blob reads skip shard pruning: pruning costs
+    * an extra tiny distinct-shards job per wave, worth it only once the
+    * state's bytes dwarf that job (at 10^10 urls the state is ~25 GB and a
+    * bloom-thinned wave touches few shards; at bench scale it is ~10 MB and
+    * every wave touches all shards).
+    */
+  val DefaultPruneBytes: Long = 256L << 20
+
+  /** Shard state strictly before `waveExclusive` (on a mid-wave crash replay
+    * this skips the crashed attempt's insert, so the replay flags exactly
+    * what the original attempt flagged), restricted to the shards in
+    * `wanted` when the state is big enough that the pruned read pays for its
+    * planning job. Pruning is exact: a shard outside `wanted` has no
+    * candidate to flag and no insert to merge.
     */
   private def blobsBefore(spark: SparkSession, shardTable: SnapshotTable,
-                          waveExclusive: Int): Dataset[ShardBlob] = {
+                          waveExclusive: Int, wanted: () => Set[Int],
+                          pruneBytes: Long): Dataset[ShardBlob] = {
     import spark.implicits._
     val v = shardTable.latestVersionBefore(waveExclusive)
-    if (shardTable.isEmptyAt(v)) spark.emptyDataset[ShardBlob]
-    else shardTable.readVersion(v.get).as[ShardBlob]
+    if (shardTable.isEmptyAt(v)) {
+      lastBlobDirsRead = 0
+      spark.emptyDataset[ShardBlob]
+    } else {
+      val dirs =
+        if (shardTable.versionBytes(v.get) < pruneBytes) shardTable.versionDirs(v.get)
+        else shardTable.versionDirs(v.get, Some(wanted()))
+      lastBlobDirsRead = dirs.size
+      if (dirs.isEmpty) spark.emptyDataset[ShardBlob]
+      else spark.read.parquet(dirs: _*).as[ShardBlob]
+    }
   }
 
   /** Tier 3, flag form: every candidate row returned with `is_seen`. */
   def cuckooFlagged(spark: SparkSession, candidates: DataFrame,
                     shardTable: SnapshotTable, shards: Int,
-                    asOfWaveExclusive: Int = Int.MaxValue): DataFrame = {
+                    asOfWaveExclusive: Int = Int.MaxValue,
+                    pruneBytes: Long = DefaultPruneBytes): DataFrame = {
     import spark.implicits._
     val cands = candidates.withColumn("shard",
       pmod(col("url_hash"), lit(shards)).cast("int"))
@@ -177,11 +236,13 @@ object SeenSet {
     val shardIdx = withFlag.schema.fieldIndex("shard")
     val hashIdx = withFlag.schema.fieldIndex("url_hash")
     val flagIdx = withFlag.schema.fieldIndex("is_seen")
-    val blobs: Dataset[ShardBlob] = blobsBefore(spark, shardTable, asOfWaveExclusive)
+    val blobs = blobsBefore(spark, shardTable, asOfWaveExclusive,
+      () => cands.select("shard").distinct().collect().map(_.getInt(0)).toSet,
+      pruneBytes)
     withFlag
       .groupByKey(_.getInt(shardIdx))
       .cogroup(blobs.groupByKey(_.shard)) { (_, rows, blobIt) =>
-        blobIt.toSeq.headOption.map(b => CuckooFilter.deserialize(b.blob)) match {
+        blobIt.toSeq.headOption.map(b => CuckooChain.deserialize(b.blob)) match {
           case None => rows
           case Some(f) => rows.map { r =>
             val vals = r.toSeq.toArray
@@ -194,32 +255,43 @@ object SeenSet {
   }
 
   /** Merge this wave's inserts into the cuckoo shard table (cogroup: each
-    * shard blob meets its inserts on one reducer).
+    * shard blob meets its inserts on one reducer). Shards with no insert are
+    * neither read (past the prune threshold) nor written: the commit's
+    * manifest carries their existing files forward untouched
+    * ([[SnapshotTable.commitSharded]]), so per-wave state I/O is O(touched),
+    * not O(seen set). A shard outgrowing `perShardCapacity` chains a larger
+    * filter (logged) instead of failing the wave.
     */
   def cuckooInsert(spark: SparkSession, newHashes: Dataset[Long],
                    shardTable: SnapshotTable, shards: Int, perShardCapacity: Long,
-                   wave: Int): Unit = {
+                   wave: Int, pruneBytes: Long = DefaultPruneBytes): Unit = {
     import spark.implicits._
     val byShard = newHashes.map(h => (((h % shards) + shards) % shards, h))
       .toDF("shard", "h").as[(Long, Long)]
     // base = state strictly before this wave: a replayed insert after a
     // mid-wave crash merges into the same pre-crash base (idempotent commit)
     // instead of double-inserting into the crashed attempt's blobs
-    val blobs: Dataset[ShardBlob] = blobsBefore(spark, shardTable, wave)
+    val blobs = blobsBefore(spark, shardTable, wave,
+      () => byShard.select("shard").distinct().collect().map(_.getLong(0).toInt).toSet,
+      pruneBytes)
     val merged = byShard.groupByKey(_._1.toInt)
       .cogroup(blobs.groupByKey(_.shard)) { (shard, ins, blobIt) =>
-        val f = blobIt.toSeq.headOption
-          .map(b => CuckooFilter.deserialize(b.blob))
-          .getOrElse(CuckooFilter.create(perShardCapacity))
-        var ok = true
-        ins.foreach { case (_, h) => ok &= f.insert(h) }
-        if (!ok) throw new IllegalStateException(
-          s"cuckoo shard $shard saturated — raise perShardCapacity")
-        Iterator.single(ShardBlob(shard, f.serialize()))
+        if (!ins.hasNext) Iterator.empty // untouched: carried at manifest level
+        else {
+          val f = blobIt.toSeq.headOption
+            .map(b => CuckooChain.deserialize(b.blob))
+            .getOrElse(CuckooChain.create(perShardCapacity))
+          var grown = 0
+          ins.foreach { case (_, h) => grown += f.insert(h) }
+          if (grown > 0) System.err.println(
+            s"[graft] WARN cuckoo shard $shard grew $grown time(s) to chain " +
+              s"length ${f.length} (count=${f.count}) — perShardCapacity " +
+              s"$perShardCapacity is under-sized for this frontier; " +
+              "correctness unaffected, probe FP rate scales with chain length")
+          Iterator.single(ShardBlob(shard, f.serialize()))
+        }
       }
-    // untouched shards must survive the snapshot replace
-    val untouched = blobs.join(merged, Seq("shard"), "left_anti").as[ShardBlob]
-    shardTable.commit(merged.unionByName(untouched).toDF(), wave, append = false)
+    shardTable.commitSharded(merged.toDF(), "shard", wave)
   }
 
   /** Order-insensitive digest of a url set (SURVEY A9 / FIXTURES §4):

@@ -94,7 +94,11 @@ final class SnapshotTable(spark: SparkSession, root: String, name: String) {
                     append: Boolean = true): Unit = {
     val prevDirs: Seq[String] =
       if (append) latestVersion.map(readManifest(_)._1).getOrElse(Nil) else Nil
-    val dirs = (prevDirs.filterNot(_ == dataDir) :+ dataDir)
+    publishDirs(prevDirs.filterNot(_ == dataDir) :+ dataDir, wave, metaKv)
+  }
+
+  private def publishDirs(dirs: Seq[String], wave: Int,
+                          metaKv: Map[String, String]): Unit = {
     val v = latestVersion.getOrElse(-1) + 1
     val body = (dirs.map("dir=" + _) ++
       (metaKv + ("wave" -> wave.toString)).map { case (k, v2) => s"meta.$k=$v2" })
@@ -105,6 +109,62 @@ final class SnapshotTable(spark: SparkSession, root: String, name: String) {
     try out.write(body.getBytes("UTF-8")) finally out.close()
     if (!fs.rename(tmp, manifestPath(v)))
       throw new IllegalStateException(s"snapshot commit race on $name v$v")
+  }
+
+  /** Dirs visible in version `v`, optionally restricted to the given shard
+    * ids (sharded layout, see [[commitSharded]]).
+    */
+  def versionDirs(v: Int, shards: Option[Set[Int]] = None): Seq[String] = {
+    val all = readManifest(v)._1
+    shards match {
+      case None => all
+      case Some(s) => all.filter(d => SnapshotTable.shardIdOf(d).exists(s.contains))
+    }
+  }
+
+  /** Total bytes under version `v`'s data dirs — a driver-side listing, used
+    * to decide whether shard-pruned reads are worth an extra planning job.
+    */
+  def versionBytes(v: Int): Long =
+    readManifest(v)._1.map { d =>
+      val p = new Path(d)
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    }.sum
+
+  /** Iceberg-style sharded commit: `df` holds ONLY the shards this wave
+    * touched (one or more rows each, `shardCol: int`); each touched shard is
+    * written to its own `data/wave=<w>/shard_p=<s>/` dir and the new manifest
+    * references the UNTOUCHED shards' existing dirs from the previous
+    * snapshot unchanged. A wave therefore commits only touched-shard bytes —
+    * the reuse behavior a real Iceberg manifest provides — instead of
+    * rewriting the full table. Readers see each shard exactly once per
+    * version ([[versionDirs]] prunes by shard id for partial reads).
+    */
+  def commitSharded(df: DataFrame, shardCol: String, wave: Int,
+                    metaKv: Map[String, String] = Map.empty): Unit = {
+    import org.apache.spark.sql.functions.col
+    val dataDir = new Path(base, s"data/wave=$wave")
+    // shard_p duplicates shardCol so the value survives in the file data
+    // (partitionBy strips its column) — readers need it without relying on
+    // partition-path inference over hand-listed leaf dirs
+    df.withColumn("shard_p", col(shardCol))
+      .write.partitionBy("shard_p").mode(SaveMode.Overwrite)
+      .parquet(dataDir.toString)
+    val touchedDirs =
+      if (!fs.exists(dataDir)) Seq.empty[String]
+      else fs.listStatus(dataDir).map(_.getPath)
+        .filter(_.getName.startsWith("shard_p=")).map(_.toString).toSeq.sorted
+    val touchedIds = touchedDirs.flatMap(SnapshotTable.shardIdOf).toSet
+    val prevDirs = latestVersion.map(readManifest(_)._1).getOrElse(Nil)
+    prevDirs.find(d => SnapshotTable.shardIdOf(d).isEmpty).foreach { d =>
+      throw new IllegalStateException(
+        s"$name: non-sharded dir $d in the prior snapshot — this store was " +
+          "written by an older (whole-table-commit) engine version; start a " +
+          "fresh crawl store")
+    }
+    val carried = prevDirs.filter(d =>
+      !touchedIds.contains(SnapshotTable.shardIdOf(d).get))
+    publishDirs(carried ++ touchedDirs, wave, metaKv)
   }
 
   /** Commit `df` as partition `wave=<wave>`. `append=false` → the new
@@ -137,5 +197,17 @@ final class SnapshotTable(spark: SparkSession, root: String, name: String) {
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     fs.rename(tmp, manifestPath(v))
+  }
+}
+
+object SnapshotTable {
+  /** Shard id of a sharded-layout dir (`…/shard_p=<n>`); None for a plain
+    * wave dir. Tagging lives in the path so a commit can carry forward
+    * untouched shards without reading their data.
+    */
+  def shardIdOf(dir: String): Option[Int] = {
+    val leaf = dir.substring(dir.lastIndexOf('/') + 1)
+    if (leaf.startsWith("shard_p=")) leaf.stripPrefix("shard_p=").toIntOption
+    else None
   }
 }

@@ -51,6 +51,9 @@ object MegaWave {
     val cfg = CrawlEngine.Config(waveDurationMs = 1000000000L,
       strategy = SeenSet.BloomExact, maxWaves = 1, amplify = amplify,
       pagesPath = Some(pagesDir),
+      // corpus is self-staged from PagesGen (unique by construction); skip
+      // the external-dir duplicate scan so the probe times pure wave cost
+      assertPagesUnique = false,
       pagesTable = if (bucketed) Some("graft_pages") else None)
     val t0 = System.nanoTime()
     val r = CrawlEngine.run(spark, sfDir, store, cfg)

@@ -64,24 +64,43 @@ final class CuckooFilter private (val buckets: Array[Long], var count: Long) {
 
   /** Raw fingerprint insert at a known index — used for same-geometry shard
     * merges (fingerprint/index pair is location-stable across equal sizes).
+    *
+    * FAILURE IS NON-DESTRUCTIVE: the kick loop journals every eviction and
+    * rolls them back before returning false, so the filter is bit-identical
+    * to its pre-call state. Without the rollback a failed insert strands the
+    * last evicted fingerprint — a FALSE NEGATIVE for whichever key owned it,
+    * which [[CuckooChain]]'s saturate-and-grow path would otherwise turn
+    * into a silently re-fetchable "never seen" url.
     */
   def insertFp(i0: Int, fp0: Int): Boolean = {
     var i = i0
     var fp = fp0
     if (tryInsertAt(i, fp) || tryInsertAt(altIndex(i, fp), fp)) { count += 1; return true }
-    // kick loop
+    // kick loop, journaled for rollback
+    val MaxKicks = 500
+    val jIdx = new Array[Int](MaxKicks)
+    val jSlot = new Array[Int](MaxKicks)
+    val jVictim = new Array[Int](MaxKicks)
     var n = 0
     var seed = (i * 0x9e3779b9) ^ fp
-    while (n < 500) {
+    while (n < MaxKicks) {
       val s = (seed >>> 7) & 3
       seed = seed * 0x5deece66dL.toInt + 11
       val b = buckets(i)
       val victim = slot(b, s)
+      jIdx(n) = i; jSlot(n) = s; jVictim(n) = victim
       buckets(i) = setSlot(b, s, fp)
       fp = victim
       i = altIndex(i, fp)
-      if (tryInsertAt(i, fp)) { count += 1; return true }
       n += 1
+      if (tryInsertAt(i, fp)) { count += 1; return true }
+    }
+    // saturated: undo every eviction in reverse (restore the victim each
+    // step displaced), leaving the filter exactly as found
+    var k = n - 1
+    while (k >= 0) {
+      buckets(jIdx(k)) = setSlot(buckets(jIdx(k)), jSlot(k), jVictim(k))
+      k -= 1
     }
     false
   }

@@ -257,6 +257,54 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("duplicate"))
   }
 
+  test("cuckoo shard-count invariance: 8 and 64 shards produce the reference " +
+       "digests (VERDICT r03 #6 — shards scale with the frontier, not semantics)") {
+    for (shards <- Seq(8, 64)) {
+      val s = freshStore(s"shards$shards")
+      val r = CrawlEngine.run(spark, sf, s, CrawlEngine.Config(
+        strategy = SeenSet.BloomCuckoo, cuckooShards = shards))
+      assert(r.seenDigest == result.seenDigest && r.fetched == result.fetched,
+        s"digest mismatch at cuckooShards=$shards")
+      assert(CrawlEngine.traceDigest(spark, s) == CrawlEngine.traceDigest(spark, store))
+    }
+  }
+
+  test("cuckoo pruned-I/O crawl (pruneBytes=0, the 10^10 read path): " +
+       "digests unchanged and the final op read < shards blobs (VERDICT r03 #3)") {
+    val s = freshStore("prunecrawl")
+    val r = CrawlEngine.run(spark, sf, s, CrawlEngine.Config(
+      strategy = SeenSet.BloomCuckoo, cuckooPruneBytes = 0L))
+    assert(r.seenDigest == result.seenDigest && r.fetched == result.fetched)
+    assert(CrawlEngine.traceDigest(spark, s) == CrawlEngine.traceDigest(spark, store))
+    // the closing wave probes an (empty-to-tiny) candidate set: with pruning
+    // forced on, its blob read must be a strict subset of the shard count
+    assert(SeenSet.lastBlobDirsRead >= 0 &&
+      SeenSet.lastBlobDirsRead < CrawlEngine.Config().cuckooShards,
+      s"expected a pruned read, got ${SeenSet.lastBlobDirsRead} blobs")
+  }
+
+  test("cuckoo shard growth inside a crawl: perShardCapacity=8 (100×+ under-" +
+       "sized) crawls clean with reference digests (VERDICT r03 #4)") {
+    val s = freshStore("shardgrow")
+    val r = CrawlEngine.run(spark, sf, s, CrawlEngine.Config(
+      strategy = SeenSet.BloomCuckoo, cuckooPerShardCapacity = 8L))
+    assert(r.seenDigest == result.seenDigest && r.fetched == result.fetched &&
+      r.deduped == result.deduped)
+    assert(CrawlEngine.traceDigest(spark, s) == CrawlEngine.traceDigest(spark, store))
+  }
+
+  test("external pages dir with a duplicate url fails fast at attach, not " +
+       "silently at the error short-circuit (VERDICT r03 #5)") {
+    val dir = freshStore("dupext") + "/pages"
+    val pages = PagesGen.pages(spark, sf).toDF()
+    pages.unionByName(pages.limit(1)).write.parquet(dir)
+    val sD = freshStore("dupext-store")
+    val e = intercept[IllegalArgumentException] {
+      CrawlEngine.run(spark, sf, sD, CrawlEngine.Config(pagesPath = Some(dir)))
+    }
+    assert(e.getMessage.contains("duplicate url"))
+  }
+
   test("questions were extracted during the crawl") {
     val q = new graft.plans.SnapshotTable(spark, store, "questions").read()
     assert(q.count() > 0)

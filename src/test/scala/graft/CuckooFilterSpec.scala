@@ -58,6 +58,66 @@ class CuckooFilterSpec extends AnyFunSuite {
     (ka ++ kb).foreach(k => assert(a.contains(k)))
   }
 
+  test("failed insert rolls back its evictions — filter bit-identical, no " +
+       "stranded fingerprints (the chain-growth prerequisite)") {
+    val f = CuckooFilter.create(16)
+    var i = 0
+    var sawFailure = false
+    while (!sawFailure && i < 10000) {
+      val k = graft.sources.PagesGen.mix(555L + i)
+      val snap = f.buckets.clone()
+      val cnt = f.count
+      if (!f.insert(k)) {
+        sawFailure = true
+        assert(f.buckets.sameElements(snap), "failure mutated the filter")
+        assert(f.count == cnt)
+      }
+      i += 1
+    }
+    assert(sawFailure, "a 16-capacity filter must eventually refuse an insert")
+  }
+
+  test("chain: grows past perShardCapacity with no false negatives (VERDICT r03 #4)") {
+    import graft.util.CuckooChain
+    val c = CuckooChain.create(16) // deliberately 100× under-sized
+    val keys = (0 until 2000).map(i => graft.sources.PagesGen.mix(i * 101L))
+    val growths = keys.map(c.insert).sum
+    assert(growths > 0, "expected at least one growth event at 125× overflow")
+    assert(c.length >= 2 && c.length <= 12,
+      s"geometric growth should keep the chain short, got ${c.length}")
+    keys.foreach(k => assert(c.contains(k), "false negative after growth"))
+  }
+
+  test("chain: serialize/deserialize round-trip preserves membership and shape") {
+    import graft.util.CuckooChain
+    val c = CuckooChain.create(64)
+    val keys = (0 until 800).map(i => graft.sources.PagesGen.mix(7L + i * 37L))
+    keys.foreach(c.insert)
+    val d = CuckooChain.deserialize(c.serialize())
+    assert(d.length == c.length && d.count == c.count)
+    keys.foreach(k => assert(d.contains(k)))
+  }
+
+  test("chain: insert is idempotent across links") {
+    import graft.util.CuckooChain
+    val c = CuckooChain.create(8)
+    val keys = (0 until 200).map(i => graft.sources.PagesGen.mix(i * 11L))
+    keys.foreach(c.insert) // forces growth; early keys live in older links
+    val before = c.count
+    keys.foreach(k => assert(c.insert(k) == 0, "re-insert must not grow"))
+    assert(c.count == before)
+  }
+
+  test("chain: pre-chain blob (raw filter bytes) is a clean error, not a misparse") {
+    import graft.util.CuckooChain
+    val legacy = CuckooFilter.create(1000)
+    (0 until 500).foreach(i => legacy.insert(i.toLong))
+    val e = intercept[IllegalStateException] {
+      CuckooChain.deserialize(legacy.serialize())
+    }
+    assert(e.getMessage.contains("incompatible"))
+  }
+
   test("property: any inserted long is contained") {
     val prop = Prop.forAll(Gen.listOfN(500, Gen.long)) { keys =>
       val f = CuckooFilter.create(2000)

@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SeenSet
+import graft.plans.SnapshotTable
+
+/** Unit-level contracts of the cuckoo shard store (VERDICT r03 #2/#3/#4):
+  * a wave's commit writes ONLY touched shards (untouched files carried
+  * forward at the manifest level), probes read only the shards the wave can
+  * touch once pruning engages, and an under-sized shard grows gracefully.
+  */
+class SeenSetShardSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+
+  private def freshTable(tag: String): SnapshotTable =
+    new SnapshotTable(spark, Files.createTempDirectory(s"graft-$tag").toString,
+      "seen_cuckoo")
+
+  private val Shards = 8
+
+  /** Well-mixed hashes landing in the given shard (pmod semantics of the
+    * engine; mixed like xxhash64 output — sequential longs would degenerate
+    * the 16-bit fingerprint and make every probe collide).
+    */
+  private def hashesIn(shard: Int, n: Int): Seq[Long] =
+    Iterator.from(0)
+      .map(i => graft.sources.PagesGen.mix(shard.toLong * 1000003L + i))
+      .filter(h => ((h % Shards) + Shards) % Shards == shard).take(n).toSeq
+
+  private def insert(t: SnapshotTable, hashes: Seq[Long], wave: Int,
+                     capacity: Long = 1L << 12, pruneBytes: Long = 0L): Unit = {
+    import spark.implicits._
+    SeenSet.cuckooInsert(spark, hashes.toDS(), t, Shards, capacity, wave,
+      pruneBytes = pruneBytes)
+  }
+
+  private def flags(t: SnapshotTable, hashes: Seq[Long],
+                    pruneBytes: Long = 0L): Map[Long, Boolean] = {
+    import spark.implicits._
+    val cands = hashes.toDF("url_hash")
+    SeenSet.cuckooFlagged(spark, cands, t, Shards, pruneBytes = pruneBytes)
+      .select(col("url_hash"), col("is_seen"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+  }
+
+  test("per-shard commit: a wave touching one shard rewrites ONLY that shard; " +
+       "untouched shard dirs are carried forward verbatim (VERDICT r03 #2)") {
+    val t = freshTable("shardcommit")
+    insert(t, hashesIn(0, 50) ++ hashesIn(1, 50) ++ hashesIn(5, 50), wave = 0)
+    val v0dirs = t.versionDirs(t.latestVersion.get)
+    assert(v0dirs.size == 3, s"wave 0 touched 3 shards, dirs=$v0dirs")
+    insert(t, hashesIn(1, 50), wave = 1) // second wave touches only shard 1
+    val v1dirs = t.versionDirs(t.latestVersion.get)
+    assert(v1dirs.size == 3)
+    val byShard0 = v0dirs.map(d => SnapshotTable.shardIdOf(d).get -> d).toMap
+    val byShard1 = v1dirs.map(d => SnapshotTable.shardIdOf(d).get -> d).toMap
+    assert(byShard1(0) == byShard0(0) && byShard1(5) == byShard0(5),
+      "untouched shards must reference the PRIOR wave's files unchanged")
+    assert(byShard1(1) != byShard0(1) && byShard1(1).contains("wave=1"),
+      "the touched shard must point at the new wave's file")
+    // and the carried files really still hold their state
+    val f = flags(t, hashesIn(0, 50) ++ hashesIn(1, 100) ++ hashesIn(5, 50))
+    assert(hashesIn(0, 50).forall(f(_)) && hashesIn(5, 50).forall(f(_)))
+    assert(hashesIn(1, 50).forall(f(_)))
+    assert(hashesIn(1, 100).drop(50).forall(!f(_)), "never-inserted stay unseen")
+  }
+
+  test("probe pruning: a wave confined to 2 of 8 shards reads 2 blobs, " +
+       "not 8, with identical flags (VERDICT r03 #3)") {
+    val t = freshTable("prune")
+    insert(t, (0 until Shards).flatMap(hashesIn(_, 30)), wave = 0)
+    val probeSet = hashesIn(2, 40) ++ hashesIn(6, 40)
+    val pruned = flags(t, probeSet, pruneBytes = 0L) // 0 ⇒ always prune
+    assert(SeenSet.lastBlobDirsRead == 2,
+      s"expected 2 shard blobs read, got ${SeenSet.lastBlobDirsRead}")
+    val full = flags(t, probeSet, pruneBytes = Long.MaxValue) // never prune
+    assert(SeenSet.lastBlobDirsRead == Shards)
+    assert(pruned == full, "pruning must not change any flag")
+    assert(hashesIn(2, 30).forall(pruned(_)))
+    assert(hashesIn(2, 40).drop(30).forall(!pruned(_)))
+  }
+
+  test("insert pruning: a wave confined to one shard reads one blob") {
+    val t = freshTable("insertprune")
+    insert(t, (0 until Shards).flatMap(hashesIn(_, 30)), wave = 0)
+    insert(t, hashesIn(3, 200).drop(30), wave = 1, pruneBytes = 0L)
+    assert(SeenSet.lastBlobDirsRead == 1,
+      s"insert should read only the touched shard, got ${SeenSet.lastBlobDirsRead}")
+    val f = flags(t, hashesIn(3, 200) ++ hashesIn(4, 30))
+    assert(hashesIn(3, 200).forall(f(_)) && hashesIn(4, 30).forall(f(_)))
+  }
+
+  test("graceful growth: inserting 100× past perShardCapacity stays correct, " +
+       "no exception (VERDICT r03 #4)") {
+    val t = freshTable("growth")
+    val keys = hashesIn(2, 3000)
+    insert(t, keys, wave = 0, capacity = 16) // would have thrown in round 3
+    insert(t, hashesIn(2, 4000).drop(3000), wave = 1, capacity = 16)
+    val f = flags(t, hashesIn(2, 4100))
+    assert(hashesIn(2, 4000).forall(f(_)), "no false negatives across growth")
+    assert(hashesIn(2, 4100).drop(4000).count(f(_)) <= 2,
+      "fresh hashes must stay (near-universally) unseen — FP-rate bound")
+  }
+
+  test("empty-wave insert carries the full prior state forward") {
+    val t = freshTable("emptywave")
+    insert(t, hashesIn(0, 20), wave = 0)
+    insert(t, Seq.empty[Long], wave = 1)
+    assert(t.meta("wave") == "1")
+    val f = flags(t, hashesIn(0, 20))
+    assert(hashesIn(0, 20).forall(f(_)))
+  }
+
+  test("bloom snapshot: unknown magic is a clean incompatibility error (ADVICE r03)") {
+    val dir = Files.createTempDirectory("graft-bloommagic").toString
+    // round-trip sanity first
+    val b = new SeenSet.Bloom(1000, 0.01)
+    b.inserted = 7
+    b.save(spark, dir, 3)
+    val (v, loaded) = SeenSet.Bloom.load(spark, dir).get
+    assert(v == 3 && loaded.inserted == 7 && loaded.expected == 1000)
+    // legacy layout: the round-3 header began with the raw inserted count
+    val legacy = new java.io.DataOutputStream(
+      new java.io.FileOutputStream(s"$dir/bloom_v00009.bin"))
+    legacy.writeLong(42L); legacy.writeLong(100L); legacy.writeBoolean(false)
+    legacy.close()
+    val e = intercept[IllegalStateException] { SeenSet.Bloom.load(spark, dir) }
+    assert(e.getMessage.contains("incompatible bloom snapshot"))
+  }
+}
