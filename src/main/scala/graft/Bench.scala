@@ -14,7 +14,10 @@ import graft.operators.SeenSet
   *  2. the north-rule scaling protocol (BASELINE.md): the SAME amplified
   *     crawl at local[8] and local[32] — identical input, digest-checked
   *     identical output — urls/sec at both, efficiency = (thr32/thr8)/4,
-  *     best-of-REPS to tame sandbox variance. Politeness budgets are set
+  *     INTERLEAVED medians over ≥5 reps with the per-rep seconds and spread
+  *     published (this VM's same-config spread at 32 threads is 100-330 s;
+  *     fewer reps made round 3's headline unreproducible). Politeness
+  *     budgets are set
   *     high so per-wave work dominates (the politeness ceiling is a semantic
   *     constant — ~0.5 url/s/host in the reference, run_spider.py:199-201 —
   *     not an engine property).
@@ -80,7 +83,8 @@ object Bench {
     */
   private def crawlAt(cpus: Int, sfDir: String, amplify: Int,
                       bucketDir: String,
-                      strategy: SeenSet.Strategy): (Double, Long, Long) = {
+                      strategy: SeenSet.Strategy,
+                      bloomExpected: Option[Long] = None): (Double, Long, Long) = {
     val spark = session(cpus)
     graft.plans.BucketedTable.register(spark, bucketDir, "graft_pages",
       graft.plans.BucketedTable.PagesDdl, "url", 64)
@@ -90,10 +94,14 @@ object Bench {
       strategy = strategy,
       parseQuestions = true,
       amplify = amplify,
-      // sized for the amplified url count (sizing policy: expected >=
-      // projected inserts; saturation would bypass the pre-filter and the
-      // bench would measure a different configuration)
-      bloomExpected = math.max(1L << 22, amplify.toLong * 8192L),
+      // default: sized for the amplified url count (sizing policy: expected
+      // >= projected inserts; saturation would bypass the pre-filter and
+      // the bench would measure a different configuration). The cuckoo-only
+      // probe passes 1 to FORCE saturation — at 10^10 a single broadcast
+      // bloom (~12 GB) will not exist, so that run measures the bloom-less
+      // configuration the scale story actually runs.
+      bloomExpected = bloomExpected.getOrElse(
+        math.max(1L << 22, amplify.toLong * 8192L)),
       pagesTable = Some("graft_pages"))
     val t0 = System.nanoTime()
     val r = CrawlEngine.run(spark, sfDir, store, cfg)
@@ -132,7 +140,12 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val amplify = sys.env.getOrElse("SPARK_GRAFT_AMPLIFY", "800").toInt
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // >=5 crawl reps per level (VERDICT r03 #1): the measured same-config
+    // spread at 32 threads is 100-330 s, so median-of-3 was a coin flip —
+    // the round-3 headline number did not reproduce in the artifact of
+    // record. The ceiling probe is steadier; 3 reps keeps wall-clock sane.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
+    val ceilReps = math.min(reps, 3)
     val skipScaling = sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")
 
     // part 1: operator queries. One untimed warmup pass first (JIT + page
@@ -163,7 +176,7 @@ object Bench {
       // ceiling probe and the crawl INTERLEAVED (8,32,8,32,…) so drift hits
       // both levels equally; medians over reps
       extractAt(32, pagesDir)
-      val ceil = (1 to reps).map(_ => (extractAt(8, pagesDir), extractAt(32, pagesDir)))
+      val ceil = (1 to ceilReps).map(_ => (extractAt(8, pagesDir), extractAt(32, pagesDir)))
       val ce8 = median(ceil.map(_._1._1))
       val ce32 = median(ceil.map(_._2._1))
       val np = ceil.last._2._2
@@ -175,13 +188,25 @@ object Bench {
       // cuckoo tier's (same crawl, different confirm machinery)
       val (exSec, exUrls, exDigest) =
         crawlAt(32, sfDir, amplify, bucketDir, SeenSet.BloomExact)
+      // bloom-less probe (VERDICT r03 #7): bloomExpected=1 saturates in wave
+      // 0, so the saturation bypass routes EVERY candidate through the
+      // cuckoo confirm — the configuration a 10^10 crawl actually runs
+      // (a single broadcast bloom does not exist at that scale). Its digest
+      // is reported SEPARATELY: with all ~5M new-url probes hitting the
+      // approximate tier, a few dozen FP drops are the documented expected
+      // loss (~probes × 1.2e-4 × load), not a bench failure — the delta is
+      // published so the bound is measured, not just claimed.
+      val (coSec, coUrls, coDigest) =
+        crawlAt(32, sfDir, amplify, bucketDir, SeenSet.BloomCuckoo,
+          bloomExpected = Some(1L))
       val thr8 = median(crawls.map(r => r._1._2 / r._1._1))
       val thr32 = median(crawls.map(r => r._2._2 / r._2._1))
       val digests = crawls.flatMap(r => Seq(r._1._3, r._2._3))
       val crawlSpeedup = thr32 / thr8
       val ceilingSpeedup = ce8 / ce32
       def arr(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
-      extra = f""","seen_tier":"bloom_cuckoo","crawl_urls_per_sec_8":${round2(thr8)},"crawl_urls_per_sec_32":${round2(thr32)},"scaling_efficiency":${round3(crawlSpeedup / 4.0)},"cpu_ceiling_speedup_8_to_32":${round3(ceilingSpeedup)},"scaling_efficiency_vs_ceiling":${round3(crawlSpeedup / ceilingSpeedup)},"extract_pages_per_sec_32":${round2(np / ce32)},"scaling_digests_equal":${digests.distinct.size == 1},"bloomexact_urls_per_sec_32":${round2(exUrls / exSec)},"tier_digests_equal":${(digests :+ exDigest).distinct.size == 1},"reps":$reps,"crawl_secs_8":${arr(crawls.map(_._1._1))},"crawl_secs_32":${arr(crawls.map(_._2._1))},"bloomexact_secs_32":[${round2(exSec)}],"ceiling_secs_8":${arr(ceil.map(_._1._1))},"ceiling_secs_32":${arr(ceil.map(_._2._1))},"amplify":$amplify"""
+      def spread(xs: Seq[Double]) = f"[${xs.min}%.2f,${xs.max}%.2f]"
+      extra = f""","seen_tier":"bloom_cuckoo","crawl_urls_per_sec_8":${round2(thr8)},"crawl_urls_per_sec_32":${round2(thr32)},"scaling_efficiency":${round3(crawlSpeedup / 4.0)},"cpu_ceiling_speedup_8_to_32":${round3(ceilingSpeedup)},"scaling_efficiency_vs_ceiling":${round3(crawlSpeedup / ceilingSpeedup)},"extract_pages_per_sec_32":${round2(np / ce32)},"scaling_digests_equal":${digests.distinct.size == 1},"bloomexact_urls_per_sec_32":${round2(exUrls / exSec)},"cuckoo_only_urls_per_sec_32":${round2(coUrls / coSec)},"cuckoo_only_digest_equal":${coDigest == digests.head},"cuckoo_only_url_delta":${crawls.head._2._2 - coUrls},"tier_digests_equal":${(digests :+ exDigest).distinct.size == 1},"reps":$reps,"crawl_secs_8":${arr(crawls.map(_._1._1))},"crawl_secs_32":${arr(crawls.map(_._2._1))},"crawl_sec_spread_8":${spread(crawls.map(_._1._1))},"crawl_sec_spread_32":${spread(crawls.map(_._2._1))},"bloomexact_secs_32":[${round2(exSec)}],"cuckoo_only_secs_32":[${round2(coSec)}],"ceiling_secs_8":${arr(ceil.map(_._1._1))},"ceiling_secs_32":${arr(ceil.map(_._2._1))},"amplify":$amplify"""
       } finally deleteTree(stageBase)
     }
 

@@ -17,9 +17,14 @@ object QueriesText {
     // exact dedup: canonical id + copy count per distinct text
     "d1_exact_dedup" -> ((s, d) => Dedup.exact(t(s, d, "documents"))),
 
-    // blocked n-gram Jaccard near-dup pairs (two offset length bands)
+    // blocked n-gram Jaccard near-dup pairs (two offset length bands).
+    // The hot-block cap is ON (VERDICT r03 #8): 1000 is >11× the largest
+    // sf0.1 block (87 rows), so the oracle result is provably unchanged
+    // (0 dropped — asserted in SimilaritySpec) while the configuration
+    // benched and oracled is the 100-TB-safe one.
     "d2_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccard(t(s, d, "documents"), threshold = 0.3)),
+      Dedup.ngramJaccard(t(s, d, "documents"), threshold = 0.3,
+        maxBlock = Some(1000))),
 
     // token counting (whitespace)
     "t1_token_count" -> ((s, d) =>

@@ -19,6 +19,12 @@ object Dedup {
 
   private def tokensCol(text: Column): Column = split(lower(text), " ")
 
+  /** Rows the last capped [[ngramJaccard]] call dropped on this JVM — test
+    * and diagnostic instrumentation for the hot-block cap (-1 until a
+    * capped call runs).
+    */
+  @volatile var lastNgramDropped: Long = -1L
+
   /** Exact dedup: group by `xxhash64(text)` so the exchange carries an
     * 8-byte key instead of full document bytes (at 100 TB the grouping key IS
     * the shuffle). Collisions are detected — not silently merged — via a
@@ -181,8 +187,11 @@ object Dedup {
     * hot blocks: each (block, band, len_band) keeps at most `maxBlock` rows
     * (deterministic: lowest ids win), so candidate pairs per block are
     * ≤ maxBlock², whatever the skew. NEVER silent: the dropped-row count is
-    * computed and logged (one extra small job, only when a cap is set).
-    * None (the default, and the d2 oracle query's setting) = unbounded.
+    * computed, logged, and published via [[lastNgramDropped]] (one extra
+    * small job, only when a cap is set). The d2 oracle query RUNS with a cap
+    * (VERDICT r03 #8) — sized so the sf0.1 oracle result is provably
+    * unchanged (0 dropped, asserted in SimilaritySpec) while the 100-TB
+    * configuration is the one actually exercised. None = unbounded.
     */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.6,
                    idCol: String = "doc_id", textCol: String = "text",
@@ -203,6 +212,7 @@ object Dedup {
         val ranked = banded0.withColumn("rn", row_number().over(w))
           .localCheckpoint() // rank once, reused by the drop-count and both join sides
         val dropped = ranked.filter(col("rn") > cap).count()
+        lastNgramDropped = dropped
         if (dropped > 0) System.err.println(
           s"[graft] WARN ngramJaccard: hot-block cap $cap dropped $dropped " +
             "banded rows (bounded pairs, reduced recall on the hot block)")

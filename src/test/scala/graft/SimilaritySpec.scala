@@ -107,6 +107,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(capped.forall(r => r.getAs[Long]("id_a") <= 10 && r.getAs[Long]("id_b") <= 10))
     val log = errBuf.toString
     assert(log.contains("hot-block cap 10 dropped"), s"drop must be logged, got: $log")
+    assert(Dedup.lastNgramDropped == 80L, // 50-10 survivors × 2 bands
+      s"instrumented drop count, got ${Dedup.lastNgramDropped}")
+  }
+
+  test("d2 oracle query's cap drops ZERO rows at oracle scale (VERDICT r03 #8): " +
+       "the 100-TB-safe configuration IS the oracled one") {
+    val d2 = QueriesText.queries("d2_ngram_jaccard")
+    d2(spark, "/root/testdata/sf0.01").count()
+    assert(Dedup.lastNgramDropped == 0L,
+      s"the d2 cap must not bind at oracle scale, dropped ${Dedup.lastNgramDropped}")
   }
 
   // --- ANN recall gates vs exact ground truth (VERDICT r02 #1 of 'missing') --
