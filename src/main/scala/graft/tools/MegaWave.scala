@@ -48,8 +48,12 @@ object MegaWave {
       graft.plans.BucketedTable.register(spark, bucketDir, "graft_pages",
         graft.plans.BucketedTable.PagesDdl, "url", 64)
     val store = java.nio.file.Files.createTempDirectory(s"graft-mega-$cpus").toString
+    // GRAFT_TIER=cuckoo probes the scale tier (per-shard commits in the
+    // overlapped span); default stays the exact tier
+    val tier = if (sys.env.get("GRAFT_TIER").contains("cuckoo"))
+      SeenSet.BloomCuckoo else SeenSet.BloomExact
     val cfg = CrawlEngine.Config(waveDurationMs = 1000000000L,
-      strategy = SeenSet.BloomExact, maxWaves = 1, amplify = amplify,
+      strategy = tier, maxWaves = 1, amplify = amplify,
       pagesPath = Some(pagesDir),
       // corpus is self-staged from PagesGen (unique by construction); skip
       // the external-dir duplicate scan so the probe times pure wave cost
