@@ -487,8 +487,15 @@ object CrawlEngine {
           // commits above (it's invisible until published); only its
           // manifest PUBLISH — the actual wave advance, a millisecond
           // rename — waits for the barrier, preserving the resume invariant.
+          // the frontier table is the priority queue (north star): persist it
+          // sorted WITHIN partitions by the priority key — no shuffle, the
+          // next wave's ranked scan reads runs in priority order and the
+          // parquet pages compress/prune better. Global order stays defined
+          // by the politeness rank, not file layout (digest-invariant).
           val frontierStage = Future(phase("frontier-stage", System.nanoTime()) {
-            frontierT.stage(nextFrontier.select(frontierCols.map(col): _*), wave + 1)
+            frontierT.stage(nextFrontier.select(frontierCols.map(col): _*)
+              .sortWithinPartitions("priority", "depth", "discovery_ts", "url"),
+              wave + 1)
           })(commitEc)
           val running = commits.map(f => Future(f())(commitEc))
           // settle EVERY commit job (and the stage write) before propagating

@@ -7,20 +7,27 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *
   * No Iceberg runtime ships in the offline jar set, so this provides the
   * subset the north rule needs — snapshot isolation, atomic commit,
-  * partition layout, resumable reads — over plain Parquet:
+  * partition layout, resumable reads, manifest-level file reuse — over
+  * plain Parquet:
   *
   * ```
-  * <root>/<name>/data/wave=<n>/part-*.parquet      (data, partition layout)
-  * <root>/<name>/_snapshots/v<k>.manifest          (atomic rename commit)
+  * <root>/<name>/data/wave=<n>/part-*.parquet          (plain wave commit)
+  * <root>/<name>/data/wave=<n>/shard_p=<s>/...         (sharded commit)
+  * <root>/<name>/_snapshots/v<k>.manifest              (atomic rename commit)
   * ```
   *
-  * A manifest lists the data directories visible in that snapshot plus
-  * key=value metadata. Commit protocol: write data, write manifest to a tmp
-  * path, `FileSystem.rename` (atomic on HDFS/local) to `v<k>.manifest`.
-  * Readers resolve `latest` then read only listed directories — writers never
-  * mutate committed files, so a reader mid-commit sees the previous snapshot.
+  * A manifest lists the data directories visible in that snapshot (each
+  * optionally annotated with its byte size, the way Iceberg manifests carry
+  * file stats — so planning decisions like shard-prune-vs-scan never touch
+  * the filesystem) plus key=value metadata. Commit protocol: write data,
+  * write manifest to a tmp path, `FileSystem.rename` (atomic on HDFS/local)
+  * to `v<k>.manifest`. Readers resolve `latest` then read only listed
+  * directories — writers never mutate committed files, so a reader
+  * mid-commit sees the previous snapshot. Manifests are write-once, so reads
+  * memoize per instance (a 10^5-wave crawl would otherwise pay O(waves)
+  * manifest re-reads per wave in [[latestVersionBefore]]'s descending scan).
   * Swapping in a real `iceberg-spark-runtime` catalog replaces this class
-  * verbatim behind the same five methods.
+  * verbatim behind the same few methods.
   */
 final class SnapshotTable(spark: SparkSession, root: String, name: String) {
 
@@ -30,6 +37,19 @@ final class SnapshotTable(spark: SparkSession, root: String, name: String) {
 
   private def manifestPath(v: Int) = new Path(snapsDir, f"v$v%06d.manifest")
 
+  private final case class Manifest(dirs: Seq[(String, Option[Long])],
+                                    meta: Map[String, String]) {
+    def paths: Seq[String] = dirs.map(_._1)
+  }
+
+  // write-once manifests + immutable published dirs ⇒ safe per-instance
+  // memoization (a crash-replay overwrite of an unpublished wave dir happens
+  // in a fresh run, hence a fresh instance and cache)
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Manifest]()
+  private val bytesCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+
   def latestVersion: Option[Int] = {
     if (!fs.exists(snapsDir)) return None
     val vs = fs.listStatus(snapsDir).map(_.getPath.getName)
@@ -38,18 +58,25 @@ final class SnapshotTable(spark: SparkSession, root: String, name: String) {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  private def readManifest(v: Int): (Seq[String], Map[String, String]) = {
-    val in = fs.open(manifestPath(v))
-    val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    val lines = content.split("\n").filter(_.nonEmpty)
-    val dirs = lines.filter(_.startsWith("dir=")).map(_.stripPrefix("dir=")).toSeq
-    val meta = lines.filter(_.startsWith("meta."))
-      .map { l => val Array(k, v2) = l.stripPrefix("meta.").split("=", 2); k -> v2 }.toMap
-    (dirs, meta)
-  }
+  /** `dir=<path>` or `dir=<path>\t<bytes>` (size annotation optional for
+    * compatibility with dirs staged outside sharded commits).
+    */
+  private def manifest(v: Int): Manifest =
+    manifestCache.computeIfAbsent(v, _ => {
+      val in = fs.open(manifestPath(v))
+      val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val lines = content.split("\n").filter(_.nonEmpty)
+      val dirs = lines.filter(_.startsWith("dir=")).map { l =>
+        val parts = l.stripPrefix("dir=").split("\t", 2)
+        (parts(0), parts.lift(1).flatMap(_.toLongOption))
+      }.toSeq
+      val meta = lines.filter(_.startsWith("meta."))
+        .map { l => val Array(k, v2) = l.stripPrefix("meta.").split("=", 2); k -> v2 }.toMap
+      Manifest(dirs, meta)
+    })
 
   def meta: Map[String, String] =
-    latestVersion.map(readManifest(_)._2).getOrElse(Map.empty)
+    latestVersion.map(manifest(_).meta).getOrElse(Map.empty)
 
   /** Latest version whose committed wave is strictly below `waveExclusive` —
     * the snapshot a mid-wave crash replay must read: state tables committed
@@ -63,16 +90,14 @@ final class SnapshotTable(spark: SparkSession, root: String, name: String) {
       .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
       .map(n => n.stripPrefix("v").stripSuffix(".manifest").toInt)
       .sorted.reverse
-    vs.find(v => readManifest(v)._2.get("wave").exists(_.toInt < waveExclusive))
+    vs.find(v => manifest(v).meta.get("wave").exists(_.toInt < waveExclusive))
   }
 
   def isEmptyAt(version: Option[Int]): Boolean =
-    version.isEmpty || readManifest(version.get)._1.isEmpty
+    version.isEmpty || manifest(version.get).dirs.isEmpty
 
-  def readVersion(v: Int): DataFrame = {
-    val (dirs, _) = readManifest(v)
-    spark.read.parquet(dirs: _*)
-  }
+  def readVersion(v: Int): DataFrame =
+    spark.read.parquet(manifest(v).paths: _*)
 
   /** Stage this wave's data files WITHOUT publishing them: writes the
     * parquet but no manifest, so readers cannot see it and a crash leaves
@@ -87,21 +112,23 @@ final class SnapshotTable(spark: SparkSession, root: String, name: String) {
   }
 
   /** Publish a [[stage]]d dir as the next snapshot — manifest-only (a file
-    * write + atomic rename, milliseconds; no Spark job).
+    * write + atomic rename, milliseconds; no Spark job). Prior dirs keep
+    * their size annotations when appending.
     */
   def publishStaged(dataDir: String, wave: Int,
                     metaKv: Map[String, String] = Map.empty,
                     append: Boolean = true): Unit = {
-    val prevDirs: Seq[String] =
-      if (append) latestVersion.map(readManifest(_)._1).getOrElse(Nil) else Nil
-    publishDirs(prevDirs.filterNot(_ == dataDir) :+ dataDir, wave, metaKv)
+    val prev: Seq[(String, Option[Long])] =
+      if (append) latestVersion.map(manifest(_).dirs).getOrElse(Nil) else Nil
+    publishDirs(prev.filterNot(_._1 == dataDir) :+ (dataDir -> None), wave, metaKv)
   }
 
-  private def publishDirs(dirs: Seq[String], wave: Int,
+  private def publishDirs(dirs: Seq[(String, Option[Long])], wave: Int,
                           metaKv: Map[String, String]): Unit = {
     val v = latestVersion.getOrElse(-1) + 1
-    val body = (dirs.map("dir=" + _) ++
-      (metaKv + ("wave" -> wave.toString)).map { case (k, v2) => s"meta.$k=$v2" })
+    val body = (dirs.map { case (d, sz) =>
+      "dir=" + d + sz.map("\t" + _).getOrElse("")
+    } ++ (metaKv + ("wave" -> wave.toString)).map { case (k, v2) => s"meta.$k=$v2" })
       .mkString("", "\n", "\n")
     fs.mkdirs(snapsDir)
     val tmp = new Path(snapsDir, s".v$v.tmp")
@@ -115,30 +142,36 @@ final class SnapshotTable(spark: SparkSession, root: String, name: String) {
     * ids (sharded layout, see [[commitSharded]]).
     */
   def versionDirs(v: Int, shards: Option[Set[Int]] = None): Seq[String] = {
-    val all = readManifest(v)._1
+    val all = manifest(v).paths
     shards match {
       case None => all
       case Some(s) => all.filter(d => SnapshotTable.shardIdOf(d).exists(s.contains))
     }
   }
 
-  /** Total bytes under version `v`'s data dirs — a driver-side listing, used
-    * to decide whether shard-pruned reads are worth an extra planning job.
+  /** Total bytes under version `v`'s data dirs, used to decide whether
+    * shard-pruned reads are worth an extra planning job. Free when the
+    * manifest carries size annotations (every sharded commit); falls back
+    * to a driver-side listing per un-annotated dir, memoized either way.
     */
   def versionBytes(v: Int): Long =
-    readManifest(v)._1.map { d =>
-      val p = new Path(d)
-      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
-    }.sum
+    bytesCache.computeIfAbsent(v, _ =>
+      manifest(v).dirs.map {
+        case (_, Some(sz)) => sz
+        case (d, None) =>
+          val p = new Path(d)
+          if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+      }.sum).longValue()
 
   /** Iceberg-style sharded commit: `df` holds ONLY the shards this wave
     * touched (one or more rows each, `shardCol: int`); each touched shard is
     * written to its own `data/wave=<w>/shard_p=<s>/` dir and the new manifest
     * references the UNTOUCHED shards' existing dirs from the previous
-    * snapshot unchanged. A wave therefore commits only touched-shard bytes —
-    * the reuse behavior a real Iceberg manifest provides — instead of
-    * rewriting the full table. Readers see each shard exactly once per
-    * version ([[versionDirs]] prunes by shard id for partial reads).
+    * snapshot unchanged (with their recorded sizes). A wave therefore
+    * commits only touched-shard bytes — the reuse behavior a real Iceberg
+    * manifest provides — instead of rewriting the full table. Readers see
+    * each shard exactly once per version ([[versionDirs]] prunes by shard id
+    * for partial reads).
     */
   def commitSharded(df: DataFrame, shardCol: String, wave: Int,
                     metaKv: Map[String, String] = Map.empty): Unit = {
@@ -150,21 +183,23 @@ final class SnapshotTable(spark: SparkSession, root: String, name: String) {
     df.withColumn("shard_p", col(shardCol))
       .write.partitionBy("shard_p").mode(SaveMode.Overwrite)
       .parquet(dataDir.toString)
-    val touchedDirs =
-      if (!fs.exists(dataDir)) Seq.empty[String]
-      else fs.listStatus(dataDir).map(_.getPath)
-        .filter(_.getName.startsWith("shard_p=")).map(_.toString).toSeq.sorted
-    val touchedIds = touchedDirs.flatMap(SnapshotTable.shardIdOf).toSet
-    val prevDirs = latestVersion.map(readManifest(_)._1).getOrElse(Nil)
-    prevDirs.find(d => SnapshotTable.shardIdOf(d).isEmpty).foreach { d =>
+    val touched: Seq[(String, Option[Long])] =
+      if (!fs.exists(dataDir)) Seq.empty
+      else fs.listStatus(dataDir).filter(_.getPath.getName.startsWith("shard_p="))
+        .map(st => (st.getPath.toString,
+          Some(fs.getContentSummary(st.getPath).getLength): Option[Long]))
+        .toSeq.sortBy(_._1)
+    val touchedIds = touched.flatMap(t => SnapshotTable.shardIdOf(t._1)).toSet
+    val prev = latestVersion.map(manifest(_).dirs).getOrElse(Nil)
+    prev.find(d => SnapshotTable.shardIdOf(d._1).isEmpty).foreach { d =>
       throw new IllegalStateException(
-        s"$name: non-sharded dir $d in the prior snapshot — this store was " +
-          "written by an older (whole-table-commit) engine version; start a " +
-          "fresh crawl store")
+        s"$name: non-sharded dir ${d._1} in the prior snapshot — this store " +
+          "was written by an older (whole-table-commit) engine version; " +
+          "start a fresh crawl store")
     }
-    val carried = prevDirs.filter(d =>
-      !touchedIds.contains(SnapshotTable.shardIdOf(d).get))
-    publishDirs(carried ++ touchedDirs, wave, metaKv)
+    val carried = prev.filter(d =>
+      !touchedIds.contains(SnapshotTable.shardIdOf(d._1).get))
+    publishDirs(carried ++ touched, wave, metaKv)
   }
 
   /** Commit `df` as partition `wave=<wave>`. `append=false` → the new
@@ -176,28 +211,18 @@ final class SnapshotTable(spark: SparkSession, root: String, name: String) {
     publishStaged(stage(df, wave), wave, metaKv, append)
 
   def isEmpty: Boolean = latestVersion.isEmpty ||
-    readManifest(latestVersion.get)._1.isEmpty
+    manifest(latestVersion.get).dirs.isEmpty
 
   /** Read the latest snapshot (empty DataFrame with no snapshot is the
     * caller's job to handle via isEmpty).
     */
-  def read(): DataFrame = {
-    val (dirs, _) = readManifest(latestVersion.getOrElse(
-      throw new IllegalStateException(s"no snapshot for $name")))
-    spark.read.parquet(dirs: _*)
-  }
+  def read(): DataFrame =
+    spark.read.parquet(manifest(latestVersion.getOrElse(
+      throw new IllegalStateException(s"no snapshot for $name"))).paths: _*)
 
   /** Truncate: next snapshot sees nothing (used to mark frontier-exhausted). */
-  def commitEmpty(wave: Int, metaKv: Map[String, String] = Map.empty): Unit = {
-    val v = latestVersion.getOrElse(-1) + 1
-    val body = (metaKv + ("wave" -> wave.toString))
-      .map { case (k, v2) => s"meta.$k=$v2" }.mkString("", "\n", "\n")
-    fs.mkdirs(snapsDir)
-    val tmp = new Path(snapsDir, s".v$v.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    fs.rename(tmp, manifestPath(v))
-  }
+  def commitEmpty(wave: Int, metaKv: Map[String, String] = Map.empty): Unit =
+    publishDirs(Seq.empty, wave, metaKv)
 }
 
 object SnapshotTable {

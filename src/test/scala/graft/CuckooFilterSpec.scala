@@ -127,4 +127,16 @@ class CuckooFilterSpec extends AnyFunSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(50), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("property: any inserted long is contained by a growing chain " +
+       "(arbitrary keys, forced growth, duplicates)") {
+    import graft.util.CuckooChain
+    val prop = Prop.forAll(Gen.listOfN(800, Gen.long)) { keys =>
+      val c = CuckooChain.create(32) // forces growth on every non-tiny sample
+      keys.foreach(c.insert)
+      keys.forall(c.contains)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
