@@ -397,5 +397,5 @@ object Queries {
     QueriesText.queries ++ QueriesCrawlOps.queries
 
   def oracles: Map[String, String] = crawlOracles ++ relationalOracles ++
-    QueriesText.oracles
+    QueriesText.oracles ++ QueriesCrawlOps.oracles
 }

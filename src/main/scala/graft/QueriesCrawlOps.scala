@@ -7,13 +7,50 @@ import graft.functions.{Extract, QuestionParser, TextAnalysis}
 import graft.operators.{BatchSink, Dedup, Enrichment, Multimodal, Politeness, Restructure, Similarity}
 import graft.sources.PagesGen
 
-/** Rows-only queries (no SQL-expressible oracle — html parsing, sketching,
-  * LSH, multimodal): the driver records a rows>0 check; their semantic
+/** Mostly rows-only queries (no SQL-expressible oracle — html parsing,
+  * sketching, LSH): the driver records a rows>0 check; their semantic
   * verification lives in `sbt -batch test` (golden fixtures vs the CPython
-  * oracle, engine invariants, strategy-equivalence).
+  * oracle, engine invariants, strategy-equivalence). The multimodal pair is
+  * the exception: the decode STUB's byte arithmetic is deterministic and
+  * SQL-expressible, so mm1/mm2 get full DuckDB oracles ([[oracles]]) that
+  * pin the real contract around the stub — batch shape, frame-sampling
+  * arithmetic, aggregation — not the fake decode itself.
   */
 object QueriesCrawlOps {
   import Queries.Q
+
+  /** DuckDB twins of the multimodal queries. The asset model they encode is
+    * Multimodal.assets/decodeStub/frameCount verbatim: payload = UTF-8 text
+    * bytes (`strlen` = byte length in DuckDB), kind = doc_id mod 3, width =
+    * 64 + (doc_id%16)·8, video frames = 1 + bytes%32, frame i starts at
+    * (i·4) mod bytes and takes ≤16 bytes.
+    */
+  val oracles: Map[String, String] = Map(
+    "mm1_multimodal_features" ->
+      """SELECT kind,
+        |  CAST(count(*) AS BIGINT) AS n_assets,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+        |  round(avg(64 + (doc_id % 16) * 8), 2) AS avg_width,
+        |  CAST(sum(CASE WHEN kind = 'video'
+        |           THEN 1 + (strlen(text) % 32) ELSE 1 END) AS BIGINT) AS total_frames
+        |FROM (SELECT doc_id, text,
+        |        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |             WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+        |      FROM documents)
+        |GROUP BY kind""".stripMargin,
+    "mm2_frame_sample" ->
+      """WITH v AS (SELECT doc_id, strlen(text) AS len FROM documents
+        |           WHERE doc_id % 3 = 2),
+        |fr AS (
+        |  SELECT doc_id,
+        |    least(((i * 4) % greatest(len, 1)) + 16, len)
+        |      - ((i * 4) % greatest(len, 1)) AS nb
+        |  FROM v, LATERAL (SELECT unnest(generate_series(0, (1 + (len % 32)) - 1)) AS i) s
+        |)
+        |SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_videos,
+        |  CAST(count(*) AS BIGINT) AS total_frames,
+        |  CAST(sum(nb) AS BIGINT) AS total_frame_bytes
+        |FROM fr""".stripMargin)
 
   private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
