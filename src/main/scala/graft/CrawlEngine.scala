@@ -57,10 +57,15 @@ object CrawlEngine {
       // (graceful, logged, slight FP-rate growth per link — CuckooChain)
       // rather than failing the wave
       cuckooPerShardCapacity: Long = 1L << 20,
-      // cuckoo blob reads (probe + insert) prune to the shards the wave can
-      // touch once state bytes exceed this; below it the extra
-      // distinct-shards planning job costs more than reading everything
+      // cuckoo probe reads prune to the suspect shards once state bytes
+      // exceed this; below it the extra distinct-shards planning job costs
+      // more than reading everything
       cuckooPruneBytes: Long = SeenSet.DefaultPruneBytes,
+      // LSM compaction: a wave's inserts append as exact per-shard delta
+      // blobs (O(wave) write, zero read); a shard folds its deltas into its
+      // base cuckoo chain when it holds this many blobs. Probe cost per
+      // suspect ≤ 1 chain check + (threshold-1) binary searches.
+      cuckooCompactThreshold: Int = SeenSet.DefaultCompactThreshold,
       bloomExpected: Long = 1L << 22,
       bloomFpp: Double = 0.01,
       // DEFAULT = BloomExact (ADVICE r03): exact confirm matches the
@@ -456,7 +461,8 @@ object CrawlEngine {
               phase("cuckoo", System.nanoTime()) {
                 SeenSet.cuckooInsert(spark, fetchSlice.select("url_hash").as[Long],
                   cuckooT, cfg.cuckooShards, cfg.cuckooPerShardCapacity, wave,
-                  pruneBytes = cfg.cuckooPruneBytes)
+                  pruneBytes = cfg.cuckooPruneBytes,
+                  compactThreshold = cfg.cuckooCompactThreshold)
               })
           // ---- next frontier: deferred ∪ discovered links (S4) ----
           val discovered = okParsed

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
 
 import graft.plans.SnapshotTable
-import graft.util.CuckooChain
+import graft.util.{CuckooChain, ShardState}
 
 /** URL-seen set (SURVEY §2.3 J4, §2.9; north rule's bloom/cuckoo pipeline).
   *
@@ -30,15 +30,20 @@ import graft.util.CuckooChain
   *     no false negatives. The explicit opt-in tier for the 10^10-scale
   *     path, and Bench's primary measured tier.
   *
-  * Cuckoo state I/O is O(touched shards), not O(seen set), per wave: inserts
-  * commit only the shards that received hashes ([[SnapshotTable.commitSharded]]
-  * carries untouched shards' files forward at the manifest level), and once
-  * the state is big enough to matter both probe and insert prune their blob
-  * read to the shards the wave can touch (an extra tiny distinct-shards job,
-  * paid only past `probePruneBytes` — below it, reading everything is cheaper
-  * than planning the pruned scan). A shard that outgrows `perShardCapacity`
-  * grows gracefully by chaining a larger filter ([[graft.util.CuckooChain]])
-  * instead of the round-3 mid-wave executor exception.
+  * Cuckoo state I/O is O(wave) per wave, not O(seen set) — LSM-style:
+  * inserts write each touched shard's hashes as an EXACT sorted delta blob
+  * (no read of prior state; uniform hashing touches every shard each wave,
+  * so "rewrite only touched shards" alone would still rewrite everything),
+  * and a shard compacts its deltas' keys into its base [[graft.util.CuckooChain]]
+  * once it holds `compactThreshold` blobs — amortized O(seen/threshold)
+  * read+write per wave, manifest-level file reuse for the rest
+  * ([[SnapshotTable.commitSharded]]). Probes prune their blob read to the
+  * suspect shards once state bytes pass `pruneBytes` (an extra tiny
+  * distinct-shards job — below the threshold, reading everything is cheaper
+  * than planning the pruned scan); deltas are exact, so probe FP stays at
+  * the base chain's rate. A base that outgrows `perShardCapacity` grows
+  * gracefully by chaining a larger filter instead of the round-3 mid-wave
+  * executor exception.
   *
   * Dedup analogs in the reference: Scrapy's request dupefilter (implicit),
   * diagram seen-set `/root/reference/core/main.py:344-351`, theory number
@@ -242,56 +247,95 @@ object SeenSet {
     withFlag
       .groupByKey(_.getInt(shardIdx))
       .cogroup(blobs.groupByKey(_.shard)) { (_, rows, blobIt) =>
-        blobIt.toSeq.headOption.map(b => CuckooChain.deserialize(b.blob)) match {
-          case None => rows
-          case Some(f) => rows.map { r =>
-            val vals = r.toSeq.toArray
-            vals(flagIdx) = f.contains(r.getLong(hashIdx))
-            org.apache.spark.sql.Row.fromSeq(vals.toSeq)
-          }
+        // a shard owns one base + up to compactThreshold delta blobs
+        // (LSM layout, see cuckooInsert); seen = any blob contains it
+        val states = blobIt.map(b => ShardState.deserialize(b.blob)).toSeq
+        if (states.isEmpty) rows
+        else rows.map { r =>
+          val h = r.getLong(hashIdx)
+          val vals = r.toSeq.toArray
+          vals(flagIdx) = states.exists(_.contains(h))
+          org.apache.spark.sql.Row.fromSeq(vals.toSeq)
         }
       }(enc)
       .drop("shard")
   }
 
-  /** Merge this wave's inserts into the cuckoo shard table (cogroup: each
-    * shard blob meets its inserts on one reducer). Shards with no insert are
-    * neither read (past the prune threshold) nor written: the commit's
-    * manifest carries their existing files forward untouched
-    * ([[SnapshotTable.commitSharded]]), so per-wave state I/O is O(touched),
-    * not O(seen set). A shard outgrowing `perShardCapacity` chains a larger
-    * filter (logged) instead of failing the wave.
+  /** Default number of blobs a shard accumulates before compaction. */
+  val DefaultCompactThreshold: Int = 4
+
+  /** Merge this wave's inserts into the cuckoo shard table, LSM-style:
+    *
+    *  - Every touched shard writes this wave's inserts as an EXACT sorted-
+    *    hash DELTA blob — no read of prior state at all. (Uniform hashing
+    *    means a production wave touches every shard, so the round-3-verdict
+    *    "rewrite only touched shards" fix alone still rewrites O(seen set)
+    *    per wave in steady state; deltas make the per-wave write O(wave).)
+    *  - A shard whose blob count has reached `compactThreshold` COMPACTS in
+    *    the same cogroup: its deltas' keys (retained exactly for this
+    *    purpose — cuckoo fingerprints alone cannot be rehashed into a
+    *    bigger/merged filter) fold into the base [[CuckooChain]], its prior
+    *    dirs are dropped from the manifest, amortizing O(seen/threshold)
+    *    read+write per wave.
+    *
+    * Probe FP stays at the base chain's rate — deltas are exact. A base
+    * outgrowing `perShardCapacity` chains a larger filter (logged) instead
+    * of failing the wave.
     */
   def cuckooInsert(spark: SparkSession, newHashes: Dataset[Long],
                    shardTable: SnapshotTable, shards: Int, perShardCapacity: Long,
-                   wave: Int, pruneBytes: Long = DefaultPruneBytes): Unit = {
+                   wave: Int, pruneBytes: Long = DefaultPruneBytes,
+                   compactThreshold: Int = DefaultCompactThreshold): Unit = {
     import spark.implicits._
     val byShard = newHashes.map(h => (((h % shards) + shards) % shards, h))
       .toDF("shard", "h").as[(Long, Long)]
     // base = state strictly before this wave: a replayed insert after a
     // mid-wave crash merges into the same pre-crash base (idempotent commit)
-    // instead of double-inserting into the crashed attempt's blobs
-    val blobs = blobsBefore(spark, shardTable, wave,
-      () => byShard.select("shard").distinct().collect().map(_.getLong(0).toInt).toSet,
-      pruneBytes)
+    // instead of double-inserting into the crashed attempt's blobs. The
+    // compaction set is likewise decided from the pre-wave manifest (pure
+    // driver metadata — no Spark job, no filesystem listing).
+    val v = shardTable.latestVersionBefore(wave)
+    val compactIds: Set[Int] =
+      if (shardTable.isEmptyAt(v)) Set.empty
+      else shardTable.shardDirCounts(v.get)
+        .filter(_._2 >= compactThreshold).keySet
+    // only compacting shards read their prior blobs (a pure delta wave reads
+    // ZERO); pruneBytes=0 forces the restriction — the wanted set is already
+    // precomputed driver-side, so there is no planning job to amortize
+    val blobs = blobsBefore(spark, shardTable, wave, () => compactIds,
+      pruneBytes = 0L)
     val merged = byShard.groupByKey(_._1.toInt)
       .cogroup(blobs.groupByKey(_.shard)) { (shard, ins, blobIt) =>
-        if (!ins.hasNext) Iterator.empty // untouched: carried at manifest level
-        else {
-          val f = blobIt.toSeq.headOption
-            .map(b => CuckooChain.deserialize(b.blob))
-            .getOrElse(CuckooChain.create(perShardCapacity))
+        val insArr = ins.map(_._2).toArray
+        val states = blobIt.toSeq
+        if (states.nonEmpty) {
+          // compacting shard: fold base + exact deltas + this wave into ONE chain
           var grown = 0
-          ins.foreach { case (_, h) => grown += f.insert(h) }
+          var chain: CuckooChain = null
+          val deltaKeys = scala.collection.mutable.ArrayBuffer.empty[Long]
+          states.foreach { b =>
+            ShardState.deserialize(b.blob) match {
+              case ShardState.Base(c) =>
+                if (chain == null) chain = c
+                else throw new IllegalStateException(
+                  s"cuckoo shard $shard has two base blobs — corrupt manifest")
+              case ShardState.Delta(hs) => deltaKeys ++= hs
+            }
+          }
+          if (chain == null) chain = CuckooChain.create(perShardCapacity)
+          deltaKeys.foreach(h => grown += chain.insert(h))
+          insArr.foreach(h => grown += chain.insert(h))
           if (grown > 0) System.err.println(
-            s"[graft] WARN cuckoo shard $shard grew $grown time(s) to chain " +
-              s"length ${f.length} (count=${f.count}) — perShardCapacity " +
-              s"$perShardCapacity is under-sized for this frontier; " +
-              "correctness unaffected, probe FP rate scales with chain length")
-          Iterator.single(ShardBlob(shard, f.serialize()))
-        }
+            s"[graft] WARN cuckoo shard $shard base grew $grown time(s) to " +
+              s"chain length ${chain.length} (count=${chain.count}) — " +
+              s"perShardCapacity $perShardCapacity is under-sized; correct, " +
+              "but probe FP rate scales with chain length")
+          Iterator.single(ShardBlob(shard, chain.serialize()))
+        } else if (insArr.isEmpty) Iterator.empty // untouched: carried forward
+        else Iterator.single(ShardBlob(shard, ShardState.serializeDelta(insArr)))
       }
-    shardTable.commitSharded(merged.toDF(), "shard", wave)
+    shardTable.commitSharded(merged.toDF(), "shard", wave,
+      compactedShards = compactIds)
   }
 
   /** Order-insensitive digest of a url set (SURVEY A9 / FIXTURES §4):

@@ -163,17 +163,28 @@ final class SnapshotTable(spark: SparkSession, root: String, name: String) {
           if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
       }.sum).longValue()
 
-  /** Iceberg-style sharded commit: `df` holds ONLY the shards this wave
-    * touched (one or more rows each, `shardCol: int`); each touched shard is
-    * written to its own `data/wave=<w>/shard_p=<s>/` dir and the new manifest
-    * references the UNTOUCHED shards' existing dirs from the previous
-    * snapshot unchanged (with their recorded sizes). A wave therefore
-    * commits only touched-shard bytes — the reuse behavior a real Iceberg
-    * manifest provides — instead of rewriting the full table. Readers see
-    * each shard exactly once per version ([[versionDirs]] prunes by shard id
-    * for partial reads).
+  /** Per-shard dir counts in version `v` (sharded layout) — drives the
+    * LSM-style compaction decision without any filesystem access.
+    */
+  def shardDirCounts(v: Int): Map[Int, Int] =
+    manifest(v).paths.flatMap(SnapshotTable.shardIdOf)
+      .groupBy(identity).view.mapValues(_.size).toMap
+
+  /** Iceberg-style sharded DELTA commit: `df` holds ONLY the shards this
+    * wave touched (`shardCol: int`); each touched shard's rows are written
+    * to their own `data/wave=<w>/shard_p=<s>/` dir, which the new manifest
+    * APPENDS to that shard's existing dirs (a shard owns base + delta dirs,
+    * LSM-style) — except shards in `compactedShards`, whose prior dirs are
+    * DROPPED because this wave's dir is their compacted replacement.
+    * Untouched shards' dirs carry forward unchanged with their recorded
+    * sizes. A wave therefore commits only its own bytes plus the shards it
+    * compacts — the manifest-reuse behavior a real Iceberg table provides —
+    * never a full-table rewrite. Prior dirs of THIS wave (a crashed
+    * attempt's, just overwritten by the data write above) are always
+    * superseded by the fresh listing, keeping replay idempotent.
     */
   def commitSharded(df: DataFrame, shardCol: String, wave: Int,
+                    compactedShards: Set[Int] = Set.empty,
                     metaKv: Map[String, String] = Map.empty): Unit = {
     import org.apache.spark.sql.functions.col
     val dataDir = new Path(base, s"data/wave=$wave")
@@ -189,7 +200,6 @@ final class SnapshotTable(spark: SparkSession, root: String, name: String) {
         .map(st => (st.getPath.toString,
           Some(fs.getContentSummary(st.getPath).getLength): Option[Long]))
         .toSeq.sortBy(_._1)
-    val touchedIds = touched.flatMap(t => SnapshotTable.shardIdOf(t._1)).toSet
     val prev = latestVersion.map(manifest(_).dirs).getOrElse(Nil)
     prev.find(d => SnapshotTable.shardIdOf(d._1).isEmpty).foreach { d =>
       throw new IllegalStateException(
@@ -197,8 +207,10 @@ final class SnapshotTable(spark: SparkSession, root: String, name: String) {
           "was written by an older (whole-table-commit) engine version; " +
           "start a fresh crawl store")
     }
-    val carried = prev.filter(d =>
-      !touchedIds.contains(SnapshotTable.shardIdOf(d._1).get))
+    val carried = prev.filter { case (d, _) =>
+      !compactedShards.contains(SnapshotTable.shardIdOf(d).get) &&
+        !SnapshotTable.waveOf(d).contains(wave)
+    }
     publishDirs(carried ++ touched, wave, metaKv)
   }
 
@@ -234,5 +246,15 @@ object SnapshotTable {
     val leaf = dir.substring(dir.lastIndexOf('/') + 1)
     if (leaf.startsWith("shard_p=")) leaf.stripPrefix("shard_p=").toIntOption
     else None
+  }
+
+  /** Wave of a sharded-layout dir (`…/wave=<n>/shard_p=<s>`) — lets a
+    * replayed commit supersede a crashed attempt's same-wave dirs.
+    */
+  def waveOf(dir: String): Option[Int] = {
+    val segs = dir.split('/')
+    if (segs.length < 2) None
+    else Some(segs(segs.length - 2)).filter(_.startsWith("wave="))
+      .flatMap(_.stripPrefix("wave=").toIntOption)
   }
 }

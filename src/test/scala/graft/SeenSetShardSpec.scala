@@ -33,10 +33,11 @@ class SeenSetShardSpec extends AnyFunSuite {
       .filter(h => ((h % Shards) + Shards) % Shards == shard).take(n).toSeq
 
   private def insert(t: SnapshotTable, hashes: Seq[Long], wave: Int,
-                     capacity: Long = 1L << 12, pruneBytes: Long = 0L): Unit = {
+                     capacity: Long = 1L << 12,
+                     compactThreshold: Int = SeenSet.DefaultCompactThreshold): Unit = {
     import spark.implicits._
     SeenSet.cuckooInsert(spark, hashes.toDS(), t, Shards, capacity, wave,
-      pruneBytes = pruneBytes)
+      pruneBytes = 0L, compactThreshold = compactThreshold)
   }
 
   private def flags(t: SnapshotTable, hashes: Seq[Long],
@@ -48,26 +49,43 @@ class SeenSetShardSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
   }
 
-  test("per-shard commit: a wave touching one shard rewrites ONLY that shard; " +
-       "untouched shard dirs are carried forward verbatim (VERDICT r03 #2)") {
+  test("per-shard delta commit: a wave touching one shard appends ONE delta " +
+       "dir; every other shard's dirs are carried forward verbatim " +
+       "(VERDICT r03 #2, LSM form)") {
     val t = freshTable("shardcommit")
     insert(t, hashesIn(0, 50) ++ hashesIn(1, 50) ++ hashesIn(5, 50), wave = 0)
     val v0dirs = t.versionDirs(t.latestVersion.get)
     assert(v0dirs.size == 3, s"wave 0 touched 3 shards, dirs=$v0dirs")
-    insert(t, hashesIn(1, 50), wave = 1) // second wave touches only shard 1
+    insert(t, hashesIn(1, 80), wave = 1) // second wave touches only shard 1
     val v1dirs = t.versionDirs(t.latestVersion.get)
-    assert(v1dirs.size == 3)
-    val byShard0 = v0dirs.map(d => SnapshotTable.shardIdOf(d).get -> d).toMap
-    val byShard1 = v1dirs.map(d => SnapshotTable.shardIdOf(d).get -> d).toMap
-    assert(byShard1(0) == byShard0(0) && byShard1(5) == byShard0(5),
+    assert(v1dirs.size == 4, s"shard 1 gains a delta dir, dirs=$v1dirs")
+    def byShard(dirs: Seq[String]) =
+      dirs.groupBy(d => SnapshotTable.shardIdOf(d).get)
+    val b0 = byShard(v0dirs); val b1 = byShard(v1dirs)
+    assert(b1(0) == b0(0) && b1(5) == b0(5),
       "untouched shards must reference the PRIOR wave's files unchanged")
-    assert(byShard1(1) != byShard0(1) && byShard1(1).contains("wave=1"),
-      "the touched shard must point at the new wave's file")
-    // and the carried files really still hold their state
+    assert(b1(1).toSet.contains(b0(1).head) &&
+      b1(1).exists(_.contains("wave=1")),
+      "the touched shard keeps its base AND gains the wave-1 delta")
+    // and the carried + delta files together hold the full state
     val f = flags(t, hashesIn(0, 50) ++ hashesIn(1, 100) ++ hashesIn(5, 50))
     assert(hashesIn(0, 50).forall(f(_)) && hashesIn(5, 50).forall(f(_)))
-    assert(hashesIn(1, 50).forall(f(_)))
-    assert(hashesIn(1, 100).drop(50).forall(!f(_)), "never-inserted stay unseen")
+    assert(hashesIn(1, 80).forall(f(_)))
+    assert(hashesIn(1, 100).drop(80).forall(!f(_)), "never-inserted stay unseen")
+  }
+
+  test("LSM compaction: a shard folds its delta blobs into one base chain at " +
+       "the threshold — dir count drops to 1, membership exact") {
+    val t = freshTable("compact")
+    for (w <- 0 until 5) // threshold 4: waves 0-3 accumulate, wave 4 compacts
+      insert(t, hashesIn(3, (w + 1) * 40).drop(w * 40), wave = w)
+    val dirs = t.versionDirs(t.latestVersion.get)
+      .filter(d => SnapshotTable.shardIdOf(d).contains(3))
+    assert(dirs.size == 1 && dirs.head.contains("wave=4"),
+      s"shard 3 must hold ONE compacted blob after wave 4, got $dirs")
+    val f = flags(t, hashesIn(3, 220))
+    assert(hashesIn(3, 200).forall(f(_)), "all five waves' keys survive compaction")
+    assert(hashesIn(3, 220).drop(200).count(f(_)) <= 1, "FP bound holds")
   }
 
   test("probe pruning: a wave confined to 2 of 8 shards reads 2 blobs, " +
@@ -85,22 +103,24 @@ class SeenSetShardSpec extends AnyFunSuite {
     assert(hashesIn(2, 40).drop(30).forall(!pruned(_)))
   }
 
-  test("insert pruning: a wave confined to one shard reads one blob") {
+  test("delta insert reads ZERO prior blobs (the O(wave) insert path)") {
     val t = freshTable("insertprune")
     insert(t, (0 until Shards).flatMap(hashesIn(_, 30)), wave = 0)
-    insert(t, hashesIn(3, 200).drop(30), wave = 1, pruneBytes = 0L)
-    assert(SeenSet.lastBlobDirsRead == 1,
-      s"insert should read only the touched shard, got ${SeenSet.lastBlobDirsRead}")
+    insert(t, hashesIn(3, 200).drop(30), wave = 1)
+    assert(SeenSet.lastBlobDirsRead == 0,
+      s"a pure delta wave must read no prior state, got ${SeenSet.lastBlobDirsRead}")
     val f = flags(t, hashesIn(3, 200) ++ hashesIn(4, 30))
     assert(hashesIn(3, 200).forall(f(_)) && hashesIn(4, 30).forall(f(_)))
   }
 
-  test("graceful growth: inserting 100× past perShardCapacity stays correct, " +
+  test("graceful growth: compacting 100× past perShardCapacity stays correct, " +
        "no exception (VERDICT r03 #4)") {
     val t = freshTable("growth")
-    val keys = hashesIn(2, 3000)
-    insert(t, keys, wave = 0, capacity = 16) // would have thrown in round 3
-    insert(t, hashesIn(2, 4000).drop(3000), wave = 1, capacity = 16)
+    // compactThreshold=1 forces a fold-into-base every wave, so the base
+    // chain (not the exact deltas) carries the overflow
+    insert(t, hashesIn(2, 3000), wave = 0, capacity = 16, compactThreshold = 1)
+    insert(t, hashesIn(2, 4000).drop(3000), wave = 1, capacity = 16,
+      compactThreshold = 1)
     val f = flags(t, hashesIn(2, 4100))
     assert(hashesIn(2, 4000).forall(f(_)), "no false negatives across growth")
     assert(hashesIn(2, 4100).drop(4000).count(f(_)) <= 2,
