@@ -143,9 +143,12 @@ object Bench {
     // >=5 crawl reps per level (VERDICT r03 #1): the measured same-config
     // spread at 32 threads is 100-330 s, so median-of-3 was a coin flip —
     // the round-3 headline number did not reproduce in the artifact of
-    // record. The ceiling probe is steadier; 3 reps keeps wall-clock sane.
+    // record. Ceiling reps match: two back-to-back 5-rep round-4 runs
+    // measured crawl speedup 2.127 and 2.124 (rock stable) while the
+    // 3-rep ceiling drifted 2.59→2.90, moving vs-ceiling by 0.09 — the
+    // ceiling is now the noisier half of the quotient.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
-    val ceilReps = math.min(reps, 3)
+    val ceilReps = math.min(reps, 5)
     val skipScaling = sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")
 
     // part 1: operator queries. One untimed warmup pass first (JIT + page

@@ -281,6 +281,11 @@ object SeenSet {
     * Probe FP stays at the base chain's rate — deltas are exact. A base
     * outgrowing `perShardCapacity` chains a larger filter (logged) instead
     * of failing the wave.
+    *
+    * MAINTENANCE: an empty-insert call with `compactThreshold = 1` is a
+    * full compaction (every shard holding any blob folds to one base blob)
+    * — the analog of Iceberg's rewrite-data-files action, for running
+    * off-crawl when delta accumulation should be reset.
     */
   def cuckooInsert(spark: SparkSession, newHashes: Dataset[Long],
                    shardTable: SnapshotTable, shards: Int, perShardCapacity: Long,

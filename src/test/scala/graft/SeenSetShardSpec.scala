@@ -127,6 +127,21 @@ class SeenSetShardSpec extends AnyFunSuite {
       "fresh hashes must stay (near-universally) unseen — FP-rate bound")
   }
 
+  test("maintenance: empty insert at compactThreshold=1 compacts EVERY shard " +
+       "to one base blob (the rewrite-data-files analog)") {
+    val t = freshTable("compactall")
+    for (w <- 0 until 3)
+      insert(t, (0 until Shards).flatMap(sh => hashesIn(sh, (w + 1) * 20).drop(w * 20)),
+        wave = w)
+    assert(t.versionDirs(t.latestVersion.get).size == Shards * 3)
+    insert(t, Seq.empty[Long], wave = 3, compactThreshold = 1)
+    val dirs = t.versionDirs(t.latestVersion.get)
+    assert(dirs.size == Shards && dirs.forall(_.contains("wave=3")),
+      s"every shard must hold ONE compacted blob, got $dirs")
+    val f = flags(t, (0 until Shards).flatMap(hashesIn(_, 60)))
+    assert((0 until Shards).flatMap(hashesIn(_, 60)).forall(f(_)))
+  }
+
   test("empty-wave insert carries the full prior state forward") {
     val t = freshTable("emptywave")
     insert(t, hashesIn(0, 20), wave = 0)
