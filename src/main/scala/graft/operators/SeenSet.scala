@@ -234,8 +234,17 @@ object SeenSet {
                     asOfWaveExclusive: Int = Int.MaxValue,
                     pruneBytes: Long = DefaultPruneBytes): DataFrame = {
     import spark.implicits._
-    val cands = candidates.withColumn("shard",
+    val cands0 = candidates.withColumn("shard",
       pmod(col("url_hash"), lit(shards)).cast("int"))
+    // when pruning will run its distinct-shards job, checkpoint the
+    // candidate subtree ONCE — otherwise the bloom-suspect filter (broadcast
+    // UDF over the frontier scan) would be evaluated twice, once for the
+    // shard set and once for the cogroup. Below the threshold the subtree
+    // is evaluated once anyway, so no checkpoint cost is paid at bench scale.
+    val v = shardTable.latestVersionBefore(asOfWaveExclusive)
+    val willPrune = !shardTable.isEmptyAt(v) &&
+      shardTable.versionBytes(v.get) >= pruneBytes
+    val cands = if (willPrune) cands0.localCheckpoint() else cands0
     val withFlag = cands.withColumn("is_seen", lit(false))
     val enc = org.apache.spark.sql.Encoders.row(withFlag.schema)
     val shardIdx = withFlag.schema.fieldIndex("shard")

@@ -149,6 +149,19 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(CrawlEngine.traceDigest(spark, s5) == CrawlEngine.traceDigest(spark, store))
   }
 
+  test("mid-wave crash replay across a cuckoo COMPACTION wave is idempotent " +
+       "(LSM deltas fold into the base deterministically on replay)") {
+    val s6 = freshStore("midcrash-compact")
+    val cfgC = CrawlEngine.Config(strategy = SeenSet.BloomCuckoo)
+    // run into wave 4 — with compactThreshold=4, shards that took a delta in
+    // each of waves 0-3 compact during wave 4 — then crash mid-wave-4
+    CrawlEngine.run(spark, sf, s6, cfgC.copy(maxWaves = 5))
+    simulateMidWaveCrash(s6)
+    val r6 = CrawlEngine.run(spark, sf, s6, cfgC)
+    assert(r6.seenDigest == result.seenDigest && r6.fetched == result.fetched)
+    assert(CrawlEngine.traceDigest(spark, s6) == CrawlEngine.traceDigest(spark, store))
+  }
+
   test("strategy equivalence: ExactAnti ≡ BloomExact ≡ BloomCuckoo at test scale") {
     val sE = freshStore("exact")
     val rE = CrawlEngine.run(spark, sf, sE, CrawlEngine.Config(strategy = SeenSet.ExactAnti))
