@@ -8,10 +8,12 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.SeenSet
 import graft.plans.SnapshotTable
 
-/** Unit-level contracts of the cuckoo shard store (VERDICT r03 #2/#3/#4):
-  * a wave's commit writes ONLY touched shards (untouched files carried
-  * forward at the manifest level), probes read only the shards the wave can
-  * touch once pruning engages, and an under-sized shard grows gracefully.
+/** Unit-level contracts of the LSM cuckoo shard store (VERDICT r03
+  * #2/#3/#4, extended): a wave's inserts append as exact per-shard delta
+  * blobs with ZERO read of prior state, untouched files carry forward at
+  * the manifest level, a shard compacts its deltas into its base chain at
+  * the blob-count threshold, probes read only the shards the wave can touch
+  * once pruning engages, and an under-sized shard grows gracefully.
   */
 class SeenSetShardSpec extends AnyFunSuite {
 
