@@ -187,10 +187,13 @@ object Bench {
       val crawls = (1 to reps).map(_ =>
         (crawlAt(8, sfDir, amplify, bucketDir, SeenSet.BloomCuckoo),
           crawlAt(32, sfDir, amplify, bucketDir, SeenSet.BloomCuckoo)))
-      // tier cross-check: ONE BloomExact run at 32 — digest must equal the
-      // cuckoo tier's (same crawl, different confirm machinery)
+      // tier cross-checks: ONE BloomExact run and ONE BloomShardExact run
+      // (the engine DEFAULT — exact LSM shard confirm) at 32 — digests must
+      // equal the cuckoo tier's (same crawl, different confirm machinery)
       val (exSec, exUrls, exDigest) =
         crawlAt(32, sfDir, amplify, bucketDir, SeenSet.BloomExact)
+      val (seSec, seUrls, seDigest) =
+        crawlAt(32, sfDir, amplify, bucketDir, SeenSet.BloomShardExact)
       // bloom-less probe (VERDICT r03 #7): bloomExpected=1 saturates in wave
       // 0, so the saturation bypass routes EVERY candidate through the
       // cuckoo confirm — the configuration a 10^10 crawl actually runs
@@ -209,7 +212,7 @@ object Bench {
       val ceilingSpeedup = ce8 / ce32
       def arr(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
       def spread(xs: Seq[Double]) = f"[${xs.min}%.2f,${xs.max}%.2f]"
-      extra = f""","seen_tier":"bloom_cuckoo","crawl_urls_per_sec_8":${round2(thr8)},"crawl_urls_per_sec_32":${round2(thr32)},"scaling_efficiency":${round3(crawlSpeedup / 4.0)},"cpu_ceiling_speedup_8_to_32":${round3(ceilingSpeedup)},"scaling_efficiency_vs_ceiling":${round3(crawlSpeedup / ceilingSpeedup)},"extract_pages_per_sec_32":${round2(np / ce32)},"scaling_digests_equal":${digests.distinct.size == 1},"bloomexact_urls_per_sec_32":${round2(exUrls / exSec)},"cuckoo_only_urls_per_sec_32":${round2(coUrls / coSec)},"cuckoo_only_digest_equal":${coDigest == digests.head},"cuckoo_only_url_delta":${crawls.head._2._2 - coUrls},"tier_digests_equal":${(digests :+ exDigest).distinct.size == 1},"reps":$reps,"crawl_secs_8":${arr(crawls.map(_._1._1))},"crawl_secs_32":${arr(crawls.map(_._2._1))},"crawl_sec_spread_8":${spread(crawls.map(_._1._1))},"crawl_sec_spread_32":${spread(crawls.map(_._2._1))},"bloomexact_secs_32":[${round2(exSec)}],"cuckoo_only_secs_32":[${round2(coSec)}],"ceiling_secs_8":${arr(ceil.map(_._1._1))},"ceiling_secs_32":${arr(ceil.map(_._2._1))},"amplify":$amplify"""
+      extra = f""","seen_tier":"bloom_cuckoo","crawl_urls_per_sec_8":${round2(thr8)},"crawl_urls_per_sec_32":${round2(thr32)},"scaling_efficiency":${round3(crawlSpeedup / 4.0)},"cpu_ceiling_speedup_8_to_32":${round3(ceilingSpeedup)},"scaling_efficiency_vs_ceiling":${round3(crawlSpeedup / ceilingSpeedup)},"extract_pages_per_sec_32":${round2(np / ce32)},"scaling_digests_equal":${digests.distinct.size == 1},"bloomexact_urls_per_sec_32":${round2(exUrls / exSec)},"shardexact_urls_per_sec_32":${round2(seUrls / seSec)},"cuckoo_only_urls_per_sec_32":${round2(coUrls / coSec)},"cuckoo_only_digest_equal":${coDigest == digests.head},"cuckoo_only_url_delta":${crawls.head._2._2 - coUrls},"tier_digests_equal":${(digests ++ Seq(exDigest, seDigest)).distinct.size == 1},"reps":$reps,"crawl_secs_8":${arr(crawls.map(_._1._1))},"crawl_secs_32":${arr(crawls.map(_._2._1))},"crawl_sec_spread_8":${spread(crawls.map(_._1._1))},"crawl_sec_spread_32":${spread(crawls.map(_._2._1))},"bloomexact_secs_32":[${round2(exSec)}],"shardexact_secs_32":[${round2(seSec)}],"cuckoo_only_secs_32":[${round2(coSec)}],"ceiling_secs_8":${arr(ceil.map(_._1._1))},"ceiling_secs_32":${arr(ceil.map(_._2._1))},"amplify":$amplify"""
       } finally deleteTree(stageBase)
     }
 

@@ -68,20 +68,24 @@ object CrawlEngine {
       cuckooCompactThreshold: Int = SeenSet.DefaultCompactThreshold,
       bloomExpected: Long = 1L << 22,
       bloomFpp: Double = 0.01,
-      // DEFAULT = BloomExact (ADVICE r03): exact confirm matches the
-      // reference's dupefilter semantics — a never-seen URL is NEVER
-      // dropped. BloomCuckoo is the explicit OPT-IN for the 10^10 path: its
-      // confirm cost is O(wave) regardless of crawl history (BloomExact
-      // re-scans the fetchlog's prior waves every wave — a full-history
-      // scan at 10^10), but the cuckoo confirm is APPROXIMATE: a probe
-      // false-positive (~1.2e-4 per chain link) silently marks a new URL
-      // seen, so a 10^10-candidate crawl drops on the order of 10^6 pages
-      // (bounded, documented loss — and once the bloom pre-filter
-      // saturates, ALL candidates probe the cuckoo tier, so size
-      // bloomExpected to keep the exposed fraction small). Callers choose
-      // the trade; Bench measures the cuckoo tier as the scale
-      // configuration with BloomExact as its digest cross-check.
-      strategy: SeenSet.Strategy = SeenSet.BloomExact,
+      // DEFAULT = BloomShardExact: EXACT confirm (reference dupefilter
+      // semantics — a never-seen URL is NEVER dropped) over the LSM shard
+      // store, so insert I/O is O(wave) and probes read only suspect
+      // shards at any crawl history. The alternatives trade along two axes:
+      //  - BloomExact: exact via a full-fetchlog anti-join — simplest, but
+      //    the confirm re-scans every prior wave each wave (a full-history
+      //    scan at 10^10); kept as the baseline cross-check.
+      //  - BloomCuckoo: same LSM store with a compressed cuckoo base
+      //    (~2.3 B/url vs ~8): APPROXIMATE — a probe false-positive
+      //    (~1.2e-4 per chain link, only after compaction folds keys into
+      //    the base) silently drops a new URL; a 10^10-candidate crawl
+      //    loses on the order of 10^5-10^6 pages (bounded, documented —
+      //    and once the bloom pre-filter saturates, ALL candidates probe
+      //    the confirm tier, so size bloomExpected accordingly). Explicit
+      //    opt-in for when seen-set bytes dominate the cost model.
+      // Bench measures BloomCuckoo as the compressed scale tier with
+      // BloomShardExact and BloomExact as digest cross-checks.
+      strategy: SeenSet.Strategy = SeenSet.BloomShardExact,
       maxWaves: Int = 64,
       parseQuestions: Boolean = true,
       amplify: Int = 1,
@@ -289,7 +293,9 @@ object CrawlEngine {
               defNew.withColumn("is_seen", lit(false))
                 .unionByName(seenFlagExact(suspects))
             }
-          case SeenSet.BloomCuckoo =>
+          case SeenSet.BloomCuckoo | SeenSet.BloomShardExact =>
+            // both confirm against the LSM shard store; they differ only in
+            // what compaction writes (chain vs exact array) at insert time
             if (bloom.saturated) cuckooFlag(cands)
             else {
               val (defNew, suspects) = SeenSet.bloomSplit(spark, cands, bloom)
@@ -457,12 +463,14 @@ object CrawlEngine {
               }
               bloom.save(spark, s"$storeRoot/bloom", wave)
             },
-            () => if (cfg.strategy == SeenSet.BloomCuckoo)
+            () => if (cfg.strategy == SeenSet.BloomCuckoo ||
+                       cfg.strategy == SeenSet.BloomShardExact)
               phase("cuckoo", System.nanoTime()) {
                 SeenSet.cuckooInsert(spark, fetchSlice.select("url_hash").as[Long],
                   cuckooT, cfg.cuckooShards, cfg.cuckooPerShardCapacity, wave,
                   pruneBytes = cfg.cuckooPruneBytes,
-                  compactThreshold = cfg.cuckooCompactThreshold)
+                  compactThreshold = cfg.cuckooCompactThreshold,
+                  exactBase = cfg.strategy == SeenSet.BloomShardExact)
               })
           // ---- next frontier: deferred ∪ discovered links (S4) ----
           val discovered = okParsed

@@ -53,8 +53,9 @@ object SeenSet {
 
   sealed trait Strategy
   case object ExactAnti extends Strategy          // plain left-anti (baseline)
-  case object BloomExact extends Strategy         // bloom pre-filter + exact confirm
-  case object BloomCuckoo extends Strategy        // bloom pre-filter + cuckoo confirm
+  case object BloomExact extends Strategy         // bloom pre-filter + full-log exact confirm
+  case object BloomShardExact extends Strategy    // bloom + LSM shard confirm, EXACT base (default)
+  case object BloomCuckoo extends Strategy        // bloom + LSM shard confirm, cuckoo base (compressed)
 
   final case class ShardBlob(shard: Int, blob: Array[Byte])
 
@@ -291,6 +292,13 @@ object SeenSet {
     * outgrowing `perShardCapacity` chains a larger filter (logged) instead
     * of failing the wave.
     *
+    * `exactBase = true` (the [[BloomShardExact]] tier, the engine default):
+    * compaction merges into ONE sorted key array instead of a chain —
+    * membership stays EXACT forever (reference dupefilter semantics, zero
+    * URL loss) at ~8 B/url vs the chain's ~2.3 B. Same O(wave) delta
+    * inserts, same pruned probes; choose the cuckoo base only when state
+    * bytes dominate the cost model.
+    *
     * MAINTENANCE: an empty-insert call with `compactThreshold = 1` is a
     * full compaction (every shard holding any blob folds to one base blob)
     * — the analog of Iceberg's rewrite-data-files action, for running
@@ -299,7 +307,8 @@ object SeenSet {
   def cuckooInsert(spark: SparkSession, newHashes: Dataset[Long],
                    shardTable: SnapshotTable, shards: Int, perShardCapacity: Long,
                    wave: Int, pruneBytes: Long = DefaultPruneBytes,
-                   compactThreshold: Int = DefaultCompactThreshold): Unit = {
+                   compactThreshold: Int = DefaultCompactThreshold,
+                   exactBase: Boolean = false): Unit = {
     import spark.implicits._
     val byShard = newHashes.map(h => (((h % shards) + shards) % shards, h))
       .toDF("shard", "h").as[(Long, Long)]
@@ -322,7 +331,27 @@ object SeenSet {
       .cogroup(blobs.groupByKey(_.shard)) { (shard, ins, blobIt) =>
         val insArr = ins.map(_._2).toArray
         val states = blobIt.toSeq
-        if (states.nonEmpty) {
+        if (states.nonEmpty && exactBase) {
+          // exact tier compaction: merge every key (deltas retain them all)
+          // into ONE sorted array — membership stays exact forever, at
+          // ~8 B/url vs the chain's ~2.3 B. A chain base here means the
+          // store was written by the approximate tier: its keys are gone,
+          // so the tiers cannot be switched mid-store.
+          val all = scala.collection.mutable.ArrayBuffer.empty[Long]
+          states.foreach { b =>
+            ShardState.deserialize(b.blob) match {
+              case ShardState.Delta(hs) => all ++= hs
+              case ShardState.Base(_) => throw new IllegalStateException(
+                s"shard $shard holds an approximate (cuckoo) base blob — this " +
+                  "store was written with strategy=BloomCuckoo and cannot " +
+                  "resume under the exact shard tier (fingerprints have no " +
+                  "keys); continue with BloomCuckoo or start a fresh store")
+            }
+          }
+          all ++= insArr
+          Iterator.single(ShardBlob(shard,
+            ShardState.serializeDelta(all.toArray.distinct)))
+        } else if (states.nonEmpty) {
           // compacting shard: fold base + exact deltas + this wave into ONE chain
           var grown = 0
           var chain: CuckooChain = null

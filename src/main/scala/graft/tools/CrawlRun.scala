@@ -18,6 +18,7 @@ object CrawlRun {
     val strategy = (if (args.length > 2) args(2) else "bloomexact") match {
       case "exact" => SeenSet.ExactAnti
       case "bloomcuckoo" => SeenSet.BloomCuckoo
+      case "shardexact" => SeenSet.BloomShardExact
       case _ => SeenSet.BloomExact
     }
     val cpus = if (args.length > 3) args(3) else sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")

@@ -162,10 +162,16 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(CrawlEngine.traceDigest(spark, s6) == CrawlEngine.traceDigest(spark, store))
   }
 
-  test("strategy equivalence: ExactAnti ≡ BloomExact ≡ BloomCuckoo at test scale") {
+  test("strategy equivalence: ExactAnti ≡ BloomExact ≡ BloomShardExact ≡ " +
+       "BloomCuckoo at test scale") {
     val sE = freshStore("exact")
     val rE = CrawlEngine.run(spark, sf, sE, CrawlEngine.Config(strategy = SeenSet.ExactAnti))
     assert(rE.seenDigest == result.seenDigest && rE.fetched == result.fetched)
+    val sS = freshStore("shardexact")
+    val rS = CrawlEngine.run(spark, sf, sS,
+      CrawlEngine.Config(strategy = SeenSet.BloomShardExact))
+    assert(rS.seenDigest == result.seenDigest && rS.fetched == result.fetched)
+    assert(CrawlEngine.traceDigest(spark, sS) == CrawlEngine.traceDigest(spark, store))
     val sC = freshStore("cuckoo")
     val rC = CrawlEngine.run(spark, sf, sC, CrawlEngine.Config(strategy = SeenSet.BloomCuckoo))
     assert(rC.seenDigest == result.seenDigest && rC.fetched == result.fetched)

@@ -90,6 +90,45 @@ class SeenSetShardSpec extends AnyFunSuite {
     assert(hashesIn(3, 220).drop(200).count(f(_)) <= 1, "FP bound holds")
   }
 
+  test("exact-base compaction (BloomShardExact tier): membership exact " +
+       "forever, ZERO false positives, dirs collapse at the threshold") {
+    import spark.implicits._
+    val t = freshTable("exactbase")
+    for (w <- 0 until 5)
+      SeenSet.cuckooInsert(spark,
+        hashesIn(6, (w + 1) * 40).drop(w * 40).toDS(), t, Shards, 1L << 12,
+        wave = w, pruneBytes = 0L, exactBase = true)
+    val dirs = t.versionDirs(t.latestVersion.get)
+      .filter(d => SnapshotTable.shardIdOf(d).contains(6))
+    assert(dirs.size == 1 && dirs.head.contains("wave=4"),
+      s"shard 6 must compact to one exact base, got $dirs")
+    val f = flags(t, hashesIn(6, 300))
+    assert(hashesIn(6, 200).forall(f(_)))
+    assert(hashesIn(6, 300).drop(200).count(f(_)) == 0,
+      "the exact tier admits ZERO false positives")
+  }
+
+  test("exact tier refuses to resume over an approximate (cuckoo) base") {
+    import spark.implicits._
+    val t = freshTable("mixedtier")
+    // chain base via forced compaction under the cuckoo tier: wave 0 writes
+    // a delta (nothing to compact yet), wave 1 at threshold 1 folds it into
+    // a CHAIN base — the keyless form the exact tier cannot adopt
+    SeenSet.cuckooInsert(spark, hashesIn(1, 50).toDS(), t, Shards, 1L << 12,
+      wave = 0, pruneBytes = 0L, compactThreshold = 1)
+    SeenSet.cuckooInsert(spark, hashesIn(1, 70).drop(50).toDS(), t, Shards,
+      1L << 12, wave = 1, pruneBytes = 0L, compactThreshold = 1)
+    val e = intercept[Exception] {
+      SeenSet.cuckooInsert(spark, hashesIn(1, 90).drop(70).toDS(), t, Shards,
+        1L << 12, wave = 2, pruneBytes = 0L, compactThreshold = 1,
+        exactBase = true)
+    }
+    def messages(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ messages(x.getCause)
+    assert(messages(e).exists(_.contains("cannot resume under the exact")),
+      s"expected the mixed-tier guard, got: ${messages(e)}")
+  }
+
   test("probe pruning: a wave confined to 2 of 8 shards reads 2 blobs, " +
        "not 8, with identical flags (VERDICT r03 #3)") {
     val t = freshTable("prune")
