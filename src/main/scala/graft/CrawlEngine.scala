@@ -283,7 +283,10 @@ object CrawlEngine {
         }
         def cuckooFlag(df: DataFrame): DataFrame =
           SeenSet.cuckooFlagged(spark, df, cuckooT, cfg.cuckooShards,
-            asOfWaveExclusive = wave, pruneBytes = cfg.cuckooPruneBytes)
+            asOfWaveExclusive = wave, pruneBytes = cfg.cuckooPruneBytes,
+            // exact tier: refuse approximate (chain) bases at PROBE time too
+            // — not just at compaction (ADVICE r04 mixed-tier hole)
+            requireExact = cfg.strategy == SeenSet.BloomShardExact)
         val flagged: DataFrame = cfg.strategy match {
           case SeenSet.ExactAnti => seenFlagExact(cands)
           case SeenSet.BloomExact =>

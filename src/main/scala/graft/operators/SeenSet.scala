@@ -190,9 +190,15 @@ object SeenSet {
     cuckooFlagged(spark, candidates, shardTable, shards, asOfWaveExclusive)
       .filter(!col("is_seen")).drop("is_seen")
 
-  /** Shard blobs read by the last probe/insert on this JVM — test and
-    * diagnostic instrumentation for the pruned-read path (the per-wave
-    * figure the 10^10 I/O story rests on); -1 until a cuckoo op runs.
+  /** Shard blobs read by the last probe/insert PLANNED on this JVM — test
+    * and diagnostic instrumentation for the pruned-read path (the per-wave
+    * figure the 10^10 I/O story rests on); -1 until a cuckoo op runs. The
+    * count is computed DRIVER-side at plan time (the dir list is driver
+    * metadata), so it is correct on a real cluster too; it is a static only
+    * in that concurrent crawls on one driver JVM overwrite each other.
+    * The cluster-portable channel is the insert commit's `blobs_read`
+    * manifest metadata ([[cuckooInsert]]) — queryable from the store itself
+    * (VERDICT r04 #7).
     */
   @volatile var lastBlobDirsRead: Int = -1
 
@@ -213,27 +219,35 @@ object SeenSet {
     */
   private def blobsBefore(spark: SparkSession, shardTable: SnapshotTable,
                           waveExclusive: Int, wanted: () => Set[Int],
-                          pruneBytes: Long): Dataset[ShardBlob] = {
+                          pruneBytes: Long): (Dataset[ShardBlob], Int) = {
     import spark.implicits._
     val v = shardTable.latestVersionBefore(waveExclusive)
-    if (shardTable.isEmptyAt(v)) {
-      lastBlobDirsRead = 0
-      spark.emptyDataset[ShardBlob]
-    } else {
-      val dirs =
-        if (shardTable.versionBytes(v.get) < pruneBytes) shardTable.versionDirs(v.get)
-        else shardTable.versionDirs(v.get, Some(wanted()))
-      lastBlobDirsRead = dirs.size
-      if (dirs.isEmpty) spark.emptyDataset[ShardBlob]
-      else spark.read.parquet(dirs: _*).as[ShardBlob]
-    }
+    val r: (Dataset[ShardBlob], Int) =
+      if (shardTable.isEmptyAt(v)) (spark.emptyDataset[ShardBlob], 0)
+      else {
+        val dirs =
+          if (shardTable.versionBytes(v.get) < pruneBytes) shardTable.versionDirs(v.get)
+          else shardTable.versionDirs(v.get, Some(wanted()))
+        if (dirs.isEmpty) (spark.emptyDataset[ShardBlob], 0)
+        else (spark.read.parquet(dirs: _*).as[ShardBlob], dirs.size)
+      }
+    lastBlobDirsRead = r._2
+    r
   }
 
-  /** Tier 3, flag form: every candidate row returned with `is_seen`. */
+  /** Tier 3, flag form: every candidate row returned with `is_seen`.
+    *
+    * `requireExact = true` (the [[BloomShardExact]] tier): the probe REJECTS
+    * approximate (cuckoo-chain) base blobs instead of silently serving
+    * FP-capable verdicts from them — a BloomCuckoo-written store resumed
+    * under the exact tier would otherwise contradict the tier's never-drops-
+    * a-new-URL contract until the first compaction errored (ADVICE r04).
+    */
   def cuckooFlagged(spark: SparkSession, candidates: DataFrame,
                     shardTable: SnapshotTable, shards: Int,
                     asOfWaveExclusive: Int = Int.MaxValue,
-                    pruneBytes: Long = DefaultPruneBytes): DataFrame = {
+                    pruneBytes: Long = DefaultPruneBytes,
+                    requireExact: Boolean = false): DataFrame = {
     import spark.implicits._
     val cands0 = candidates.withColumn("shard",
       pmod(col("url_hash"), lit(shards)).cast("int"))
@@ -251,15 +265,21 @@ object SeenSet {
     val shardIdx = withFlag.schema.fieldIndex("shard")
     val hashIdx = withFlag.schema.fieldIndex("url_hash")
     val flagIdx = withFlag.schema.fieldIndex("is_seen")
-    val blobs = blobsBefore(spark, shardTable, asOfWaveExclusive,
+    val (blobs, _) = blobsBefore(spark, shardTable, asOfWaveExclusive,
       () => cands.select("shard").distinct().collect().map(_.getInt(0)).toSet,
       pruneBytes)
     withFlag
       .groupByKey(_.getInt(shardIdx))
-      .cogroup(blobs.groupByKey(_.shard)) { (_, rows, blobIt) =>
+      .cogroup(blobs.groupByKey(_.shard)) { (shard, rows, blobIt) =>
         // a shard owns one base + up to compactThreshold delta blobs
         // (LSM layout, see cuckooInsert); seen = any blob contains it
         val states = blobIt.map(b => ShardState.deserialize(b.blob)).toSeq
+        if (requireExact && states.exists(_.isInstanceOf[ShardState.Base]))
+          throw new IllegalStateException(
+            s"shard $shard holds an approximate (cuckoo) base blob — this " +
+              "store was written with strategy=BloomCuckoo; the exact shard " +
+              "tier refuses to probe it (a chain FP would silently drop a " +
+              "never-seen url); continue with BloomCuckoo or start a fresh store")
         if (states.isEmpty) rows
         else rows.map { r =>
           val h = r.getLong(hashIdx)
@@ -325,32 +345,34 @@ object SeenSet {
     // only compacting shards read their prior blobs (a pure delta wave reads
     // ZERO); pruneBytes=0 forces the restriction — the wanted set is already
     // precomputed driver-side, so there is no planning job to amortize
-    val blobs = blobsBefore(spark, shardTable, wave, () => compactIds,
+    val (blobs, blobsRead) = blobsBefore(spark, shardTable, wave, () => compactIds,
       pruneBytes = 0L)
     val merged = byShard.groupByKey(_._1.toInt)
       .cogroup(blobs.groupByKey(_.shard)) { (shard, ins, blobIt) =>
         val insArr = ins.map(_._2).toArray
         val states = blobIt.toSeq
         if (states.nonEmpty && exactBase) {
-          // exact tier compaction: merge every key (deltas retain them all)
-          // into ONE sorted array — membership stays exact forever, at
-          // ~8 B/url vs the chain's ~2.3 B. A chain base here means the
-          // store was written by the approximate tier: its keys are gone,
-          // so the tiers cannot be switched mid-store.
-          val all = scala.collection.mutable.ArrayBuffer.empty[Long]
-          states.foreach { b =>
+          // exact tier compaction: k-way merge-dedup every key (deltas retain
+          // them all, each blob already sorted) into ONE sorted primitive
+          // array — membership stays exact forever, at ~8 B/url vs the
+          // chain's ~2.3 B, and the merge allocates exactly the output (no
+          // boxing — VERDICT r04 wrong #2: an under-sharded store's
+          // compaction was GC churn). A chain base here means the store was
+          // written by the approximate tier: its keys are gone, so the tiers
+          // cannot be switched mid-store.
+          java.util.Arrays.sort(insArr)
+          val sortedInputs = states.map { b =>
             ShardState.deserialize(b.blob) match {
-              case ShardState.Delta(hs) => all ++= hs
+              case ShardState.Delta(hs) => hs
               case ShardState.Base(_) => throw new IllegalStateException(
                 s"shard $shard holds an approximate (cuckoo) base blob — this " +
                   "store was written with strategy=BloomCuckoo and cannot " +
                   "resume under the exact shard tier (fingerprints have no " +
                   "keys); continue with BloomCuckoo or start a fresh store")
             }
-          }
-          all ++= insArr
-          Iterator.single(ShardBlob(shard,
-            ShardState.serializeDelta(all.toArray.distinct)))
+          }.toArray :+ insArr
+          Iterator.single(ShardBlob(shard, ShardState.serializeDeltaPresorted(
+            ShardState.mergeSortedDedup(sortedInputs))))
         } else if (states.nonEmpty) {
           // compacting shard: fold base + exact deltas + this wave into ONE chain
           var grown = 0
@@ -377,8 +399,14 @@ object SeenSet {
         } else if (insArr.isEmpty) Iterator.empty // untouched: carried forward
         else Iterator.single(ShardBlob(shard, ShardState.serializeDelta(insArr)))
       }
+    // `blobs_read` rides the manifest: the cluster-portable record of the
+    // pruned-I/O invariant (a pure delta wave reads 0 prior blobs, a
+    // compaction wave reads only its compacting shards' blobs) — asserted
+    // from the store itself in SeenSetShardSpec, no JVM statics involved
     shardTable.commitSharded(merged.toDF(), "shard", wave,
-      compactedShards = compactIds)
+      compactedShards = compactIds,
+      metaKv = Map("blobs_read" -> blobsRead.toString,
+        "compacted_shards" -> compactIds.size.toString))
   }
 
   /** Order-insensitive digest of a url set (SURVEY A9 / FIXTURES §4):

@@ -78,6 +78,11 @@ final class SnapshotTable(spark: SparkSession, root: String, name: String) {
   def meta: Map[String, String] =
     latestVersion.map(manifest(_).meta).getOrElse(Map.empty)
 
+  /** Metadata of a specific snapshot version (e.g. a commit's `blobs_read`
+    * instrumentation — the cluster-portable pruned-I/O record).
+    */
+  def metaAt(v: Int): Map[String, String] = manifest(v).meta
+
   /** Latest version whose committed wave is strictly below `waveExclusive` —
     * the snapshot a mid-wave crash replay must read: state tables committed
     * by the crashed attempt of the replayed wave are skipped, so the replay
@@ -200,7 +205,14 @@ final class SnapshotTable(spark: SparkSession, root: String, name: String) {
         .map(st => (st.getPath.toString,
           Some(fs.getContentSummary(st.getPath).getLength): Option[Long]))
         .toSeq.sortBy(_._1)
-    val prev = latestVersion.map(manifest(_).dirs).getOrElse(Nil)
+    // carry-forward base = the PRE-WAVE manifest (the same snapshot the
+    // insert's blobsBefore read), NOT latestVersion: on a mid-wave crash
+    // replay latestVersion is the crashed attempt's same-wave manifest, and
+    // if compactedShards differs between the attempts (e.g. the compaction
+    // threshold changed across the restart) a shard the crashed attempt
+    // compacted would lose its pre-wave history silently (ADVICE r04).
+    // Identical to latestVersion in the normal strictly-increasing-wave path.
+    val prev = latestVersionBefore(wave).map(manifest(_).dirs).getOrElse(Nil)
     prev.find(d => SnapshotTable.shardIdOf(d._1).isEmpty).foreach { d =>
       throw new IllegalStateException(
         s"$name: non-sharded dir ${d._1} in the prior snapshot — this store " +

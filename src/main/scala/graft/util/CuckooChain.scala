@@ -35,9 +35,11 @@ final class CuckooChain private (private var filters: List[CuckooFilter]) {
     if (contains(h)) return 0
     var grown = 0
     while (!filters.head.insert(h)) {
-      // ~2.1× the saturated filter's bucket count (create() re-derives the
-      // power-of-two geometry from an "expected keys" figure)
-      filters = CuckooFilter.create(filters.head.buckets.length.toLong * 8L) :: filters
+      // 2× the saturated filter's bucket count: create() sizes buckets as
+      // next-pow2(ceil(expected / 3.8)), so expected = 4·buckets lands just
+      // past the current size and rounds to exactly double. (ADVICE r04:
+      // 8·buckets overshot to 4× per link, doubling the memory story.)
+      filters = CuckooFilter.create(filters.head.buckets.length.toLong * 4L) :: filters
       grown += 1
     }
     grown

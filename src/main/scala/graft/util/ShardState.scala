@@ -37,14 +37,74 @@ object ShardState {
       java.util.Arrays.binarySearch(sorted, h) >= 0
   }
 
+  /** One JVM byte-array caps a blob at ~2^31 bytes ⇒ ~268M keys. A shard
+    * that large means the store is under-sharded (the engine's sizing rule:
+    * shards ≥ frontier / perShardCapacity); fail with the remedy instead of
+    * the Int-overflow negative-allocation crash (ADVICE r04).
+    */
+  private def requireBlobFits(n: Int): Unit = {
+    val bytes = 8L + n.toLong * 8L // Long math: n*8 alone overflows past ~268M
+    require(bytes <= Int.MaxValue - 16,
+      s"seen-set shard blob would hold $n keys (${bytes / (1L << 20)} MiB) — " +
+        "over the single-blob limit; raise cuckooShards so each shard's " +
+        "compacted base stays under ~256M keys")
+  }
+
   def serializeDelta(hashes: Array[Long]): Array[Byte] = {
     val sorted = hashes.clone()
     java.util.Arrays.sort(sorted)
+    serializeDeltaPresorted(sorted)
+  }
+
+  /** Serialize an ALREADY-SORTED hash array (the k-way-merge compaction path
+    * — no clone, no re-sort).
+    */
+  def serializeDeltaPresorted(sorted: Array[Long]): Array[Byte] = {
+    requireBlobFits(sorted.length)
     val bb = java.nio.ByteBuffer.allocate(8 + sorted.length * 8)
     bb.putInt(DeltaMagic)
     bb.putInt(sorted.length)
     sorted.foreach(bb.putLong)
     bb.array()
+  }
+
+  /** K-way merge of SORTED long arrays into one sorted, duplicate-free
+    * primitive array — the exact-base compaction merge (VERDICT r04 wrong
+    * #2: the boxed ArrayBuffer++distinct version churned GC on big shards).
+    * k is tiny (≤ compactThreshold + 1), so a linear min-scan per output
+    * element beats a heap.
+    */
+  def mergeSortedDedup(arrays: Array[Array[Long]]): Array[Long] = {
+    val k = arrays.length
+    if (k == 0) return Array.emptyLongArray
+    var total = 0L
+    var a = 0
+    while (a < k) { total += arrays(a).length; a += 1 }
+    require(total <= Int.MaxValue - 16, s"merged shard would hold $total keys")
+    val out = new Array[Long](total.toInt)
+    val pos = new Array[Int](k)
+    var n = 0
+    var first = true
+    var last = 0L
+    while (true) {
+      var minIdx = -1
+      var minVal = 0L
+      var i = 0
+      while (i < k) {
+        if (pos(i) < arrays(i).length) {
+          val v = arrays(i)(pos(i))
+          if (minIdx < 0 || v < minVal) { minIdx = i; minVal = v }
+        }
+        i += 1
+      }
+      if (minIdx < 0) {
+        requireBlobFits(n)
+        return java.util.Arrays.copyOf(out, n)
+      }
+      pos(minIdx) += 1
+      if (first || minVal != last) { out(n) = minVal; n += 1; last = minVal; first = false }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   def deserialize(bytes: Array[Byte]): Blob = {

@@ -192,6 +192,110 @@ class SeenSetShardSpec extends AnyFunSuite {
     assert(hashesIn(0, 20).forall(f(_)))
   }
 
+  test("exact tier REFUSES to PROBE an approximate (cuckoo) base too " +
+       "(ADVICE r04: the insert-only guard let probes serve FP-capable " +
+       "verdicts from a BloomCuckoo store)") {
+    import spark.implicits._
+    val t = freshTable("mixedprobe")
+    SeenSet.cuckooInsert(spark, hashesIn(1, 50).toDS(), t, Shards, 1L << 12,
+      wave = 0, pruneBytes = 0L, compactThreshold = 1)
+    SeenSet.cuckooInsert(spark, hashesIn(1, 70).drop(50).toDS(), t, Shards,
+      1L << 12, wave = 1, pruneBytes = 0L, compactThreshold = 1) // chain base
+    val e = intercept[Exception] {
+      SeenSet.cuckooFlagged(spark, hashesIn(1, 10).toDF("url_hash"), t,
+        Shards, pruneBytes = 0L, requireExact = true).count()
+    }
+    def messages(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ messages(x.getCause)
+    assert(messages(e).exists(_.contains("refuses to probe")),
+      s"expected the probe-side tier guard, got: ${messages(e)}")
+    // the exact same probe WITHOUT the exact contract still works
+    val f = flags(t, hashesIn(1, 10))
+    assert(hashesIn(1, 10).forall(f(_)))
+  }
+
+  test("insert commits record blobs_read in manifest metadata — the " +
+       "cluster-portable pruned-I/O channel (VERDICT r04 #7)") {
+    val t = freshTable("blobsmeta")
+    insert(t, (0 until Shards).flatMap(hashesIn(_, 30)), wave = 0)
+    assert(t.metaAt(t.latestVersion.get).get("blobs_read").contains("0"),
+      "first wave has no prior state to read")
+    insert(t, hashesIn(3, 60).drop(30), wave = 1)
+    assert(t.metaAt(t.latestVersion.get).get("blobs_read").contains("0"),
+      "a pure delta wave must record ZERO prior blobs read")
+    // force a full compaction: every shard reads exactly its prior blobs
+    insert(t, Seq.empty[Long], wave = 2, compactThreshold = 1)
+    val m = t.metaAt(t.latestVersion.get)
+    assert(m.get("blobs_read").contains((Shards + 1).toString),
+      s"compaction reads each prior blob exactly once, got ${m.get("blobs_read")}")
+    assert(m.get("compacted_shards").contains(Shards.toString))
+  }
+
+  test("mid-wave crash replay with a CHANGED compaction threshold keeps the " +
+       "pre-wave history (ADVICE r04: carry-forward from the pre-wave " +
+       "manifest, not the crashed attempt's)") {
+    val t = freshTable("replaythreshold")
+    for (w <- 0 until 4) // threshold 4 → wave 4 will compact
+      insert(t, hashesIn(5, (w + 1) * 25).drop(w * 25), wave = w)
+    // crashed attempt of wave 4: compacts shard 5 (threshold 4 reached),
+    // publishing a manifest whose shard-5 history is ONLY the wave-4 dir
+    insert(t, hashesIn(5, 125).drop(100), wave = 4)
+    // replay of wave 4 under a RAISED threshold: no compaction this time —
+    // the carry-forward must come from the pre-wave manifest (waves 0-3),
+    // not from the crashed attempt (whose wave-4 dir is overwritten and
+    // whose carried set already dropped waves 0-3)
+    insert(t, hashesIn(5, 125).drop(100), wave = 4, compactThreshold = 999)
+    val f = flags(t, hashesIn(5, 125))
+    assert(hashesIn(5, 125).forall(f(_)),
+      "waves 0-3 keys must survive a replay that no longer compacts")
+  }
+
+  test("mergeSortedDedup: primitive k-way merge equals the boxed " +
+       "sort-distinct reference on overlapping inputs") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 50) {
+      val k = 1 + rnd.nextInt(6)
+      val arrays = Array.fill(k) {
+        val a = Array.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong - 30L)
+        java.util.Arrays.sort(a); a
+      }
+      val got = graft.util.ShardState.mergeSortedDedup(arrays)
+      val want = arrays.flatten.distinct.sorted
+      assert(got.toSeq == want.toSeq, s"k=$k")
+    }
+    assert(graft.util.ShardState.mergeSortedDedup(Array.empty).isEmpty)
+  }
+
+  test("forced big-shard exact compaction (5M keys through one shard) " +
+       "completes with exact membership — the primitive-merge path at the " +
+       "scale the boxed version churned (VERDICT r04 #5)") {
+    import spark.implicits._
+    val t = freshTable("bigcompact")
+    val perWave = 1000000
+    // ONE shard: all keys collide into a single compaction group; threshold
+    // 4 means wave 4 (pre-wave dir count 4) folds waves 0-3 + its own
+    // inserts into one exact base
+    for (w <- 0 until 5) {
+      val keys = (0 until perWave).map(i =>
+        graft.sources.PagesGen.mix(w.toLong * 10000019L + i))
+      SeenSet.cuckooInsert(spark, keys.toDS(), t, 1, 1L << 12,
+        wave = w, pruneBytes = 0L, compactThreshold = 4, exactBase = true)
+    }
+    val dirs = t.versionDirs(t.latestVersion.get)
+    assert(dirs.size == 1 && dirs.head.contains("wave=4"),
+      s"expected one compacted base, got $dirs")
+    val probe = (0 until 5).flatMap(w => Seq(0, perWave / 2, perWave - 1).map(i =>
+      graft.sources.PagesGen.mix(w.toLong * 10000019L + i)))
+    val fresh = (0 until 20).map(i => graft.sources.PagesGen.mix(-1L - i))
+    import org.apache.spark.sql.functions.col
+    val f = SeenSet.cuckooFlagged(spark, (probe ++ fresh).toDF("url_hash"), t, 1,
+        pruneBytes = 0L)
+      .select(col("url_hash"), col("is_seen"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(probe.forall(f(_)), "all compacted keys present")
+    assert(fresh.forall(!f(_)), "exact base: zero FPs")
+  }
+
   test("bloom snapshot: unknown magic is a clean incompatibility error (ADVICE r03)") {
     val dir = Files.createTempDirectory("graft-bloommagic").toString
     // round-trip sanity first
