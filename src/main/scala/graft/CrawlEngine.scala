@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.QuestionParser
-import graft.operators.{Politeness, SeenSet}
+import graft.operators.{Frontier, Politeness, SeenSet}
 import graft.plans.SnapshotTable
 import graft.sources.PagesGen
 
@@ -38,7 +38,12 @@ import graft.sources.PagesGen
   * silently drops the hint). The bloom tier is built distributed (executors
   * fold partial filters; driver sees only the sketch). Dedup shuffles only
   * bloom-suspects. Politeness ranks via salted two-phase top-k (hot-host
-  * skew, P8). All state tables are wave-partitioned for pruning.
+  * skew, P8). All state tables are wave-partitioned for pruning. The
+  * frontier itself is a dir-granular LSM priority queue
+  * ([[graft.operators.Frontier]]): a wave reads fresh discoveries plus the
+  * priority bands that can win a politeness slot, rewrites exactly what it
+  * read, and carries the provably-deferred cold tail forward at the
+  * manifest level — per-wave frontier I/O is O(touched), not O(frontier).
   */
 object CrawlEngine {
 
@@ -119,7 +124,19 @@ object CrawlEngine {
       // but an external dir reaches the nOk==nFetch short-circuit unchecked
       // without this (VERDICT r03 missing #3). One column-pruned agg at
       // startup; opt out only for corpora already checked upstream.
-      assertPagesUnique: Boolean = true)
+      assertPagesUnique: Boolean = true,
+      // frontier LSM layout (operators/Frontier): cold dirs are keyed
+      // band·shards + hostBucket; fresh discoveries live in shard -1. At
+      // 10^10 size shards ≈ the cluster's task fan-out and bands to the
+      // crawl's depth profile (band = min(priority, bands-1)).
+      frontierShards: Int = 32,
+      frontierBands: Int = 8,
+      // frontier read pruning + sidecar writes engage once the frontier's
+      // manifest bytes pass this (sidecars at half of it, so stats exist by
+      // the time pruning starts); below it every dir is read and the
+      // frontier behaves exactly like a full-rewrite table — the right
+      // trade at bench scale where planning jobs cost more than the read.
+      frontierPruneBytes: Long = 256L << 20)
 
   final case class Result(waves: Int, fetched: Long, deduped: Long,
                           errors: Long, seenCount: Long, seenDigest: Long)
@@ -197,11 +214,18 @@ object CrawlEngine {
   def run(spark: SparkSession, sfDir: String, storeRoot: String,
           cfg: Config = Config()): Result = {
     import spark.implicits._
+    // frontier dir keys pack (wave, shard) into a long with 20 shard bits
+    require(cfg.frontierBands.toLong * cfg.frontierShards < (1L << 20),
+      "frontierBands * frontierShards must stay under 2^20")
 
     val frontierT = new SnapshotTable(spark, storeRoot, "frontier")
     val fetchlogT = new SnapshotTable(spark, storeRoot, "fetchlog")
     val questionsT = new SnapshotTable(spark, storeRoot, "questions")
     val cuckooT = new SnapshotTable(spark, storeRoot, "seen_cuckoo")
+    // frontier sidecars (operators/Frontier): per-cold-dir host stats (read
+    // planning) and url blooms (duplicate-vs-unread-dir probe)
+    val fstatsT = new SnapshotTable(spark, storeRoot, "frontier_stats")
+    val fbloomsT = new SnapshotTable(spark, storeRoot, "frontier_blooms")
 
     // pages staged once (stand-in for the live web / WARC store); an
     // externally staged path can be shared across runs (Bench does this so
@@ -237,7 +261,11 @@ object CrawlEngine {
     // flagging its own candidates as 'seen' and silently dropping the wave's
     // questions and links.
     val startWave = frontierT.meta.get("wave").map(_.toInt).getOrElse {
-      frontierT.commit(seedFrontier(spark, sfDir, cfg.amplify), 0, append = false)
+      // seeds are UNVETTED (never probed) → the fresh dir, read in full at
+      // wave 0 like every fresh dir
+      val seeds = seedFrontier(spark, sfDir, cfg.amplify)
+        .withColumn("fshard", lit(Frontier.FreshShard))
+      frontierT.publishSharded(frontierT.stageSharded(seeds, "fshard", 0), 0)
       0
     }
     val bloom = SeenSet.Bloom.load(spark, s"$storeRoot/bloom", startWave)
@@ -263,7 +291,19 @@ object CrawlEngine {
       val tw0 = System.nanoTime()
       if (frontierT.isEmpty) { done = true }
       else {
-        val cands = frontierT.read().select(frontierCols.map(col): _*)
+        // ---- planned frontier read (O(touched), north rule's priority
+        // queue): fresh dirs + the priority bands that can still win a
+        // politeness slot; provably-deferred cold dirs are skipped and
+        // their rows' dispositions patched from exact sidecar counts ----
+        val liveVersion = frontierT.latestVersion.get
+        val liveDirs = frontierT.dirsWithSizes(liveVersion)
+        val fplan = Frontier.plan(spark, liveDirs, fstatsT, robots,
+          cfg.waveDurationMs, cfg.frontierPruneBytes)
+        if (timing && fplan.skippedDirs.nonEmpty) System.err.println(
+          s"  [frontier-plan] read ${fplan.readDirs.size}/${liveDirs.size} " +
+            s"dirs, skipped ${fplan.skippedRows} provably-deferred rows")
+        val cands = spark.read.parquet(fplan.readDirs: _*)
+          .select(frontierCols.map(col): _*)
 
         // ---- dedup flag (J4/U3): is_seen per candidate. All tiers read seen
         // state as of waves < wave (replay idempotency, see resume note) ----
@@ -340,7 +380,13 @@ object CrawlEngine {
               .map(r => r.getString(0) -> r.getLong(1)).toMap
             m + ("cand" -> m.values.sum)
           })
-        if (eagerCounts.exists(_("cand") == 0L)) { done = true; waveLog.unpersist() }
+        // an empty READ set with skipped rows would be a planner bug (the
+        // prune rule always keeps each host's best dir)
+        if (eagerCounts.exists(_("cand") == 0L)) {
+          require(fplan.skippedRows == 0,
+            "frontier planner bug: zero candidates read but rows skipped")
+          done = true; waveLog.unpersist()
+        }
         else {
           // ---- fetch (J5): wave ⋈ pages in the broadcast-legal inner shape
           // (joinWavePages) — pages NEVER shuffle on the broadcast path.
@@ -387,7 +433,11 @@ object CrawlEngine {
           val nBlocked = counts.getOrElse("blocked", 0L)
           val nDeferred = counts.getOrElse("deferred", 0L)
           val nFetch = counts.getOrElse("fetch", 0L)
-          if (nCandidates == 0) { done = true; okParsed.unpersist(); waveLog.unpersist() }
+          if (nCandidates == 0) {
+            require(fplan.skippedRows == 0,
+              "frontier planner bug: zero candidates read but rows skipped")
+            done = true; okParsed.unpersist(); waveLog.unpersist()
+          }
           else {
 
           // status='error' recovery: wave rows with no page, or whose page
@@ -414,10 +464,13 @@ object CrawlEngine {
               lit("").as("seed_subject"), lit(0).as("seed_year"),
               lit(-1).as("partition_id")))
             .withColumn("wave", lit(wave))
-            .withColumn("candidates_in_wave", lit(nCandidates))
+            // skipped cold rows ARE this wave's candidates-that-deferred in
+            // the always-read engine: patching both counts from the exact
+            // sidecar totals keeps lineage row-for-row identical to it
+            .withColumn("candidates_in_wave", lit(nCandidates + fplan.skippedRows))
             .withColumn("deduped_in_wave", lit(nSeen))
             .withColumn("blocked_in_wave", lit(nBlocked))
-            .withColumn("deferred_in_wave", lit(nDeferred))
+            .withColumn("deferred_in_wave", lit(nDeferred + fplan.skippedRows))
 
           // ---- state commits, CONCURRENT (VERDICT r02 #3): questions,
           // fetchlog, bloom, cuckoo are independent jobs over cached inputs
@@ -475,7 +528,7 @@ object CrawlEngine {
                   compactThreshold = cfg.cuckooCompactThreshold,
                   exactBase = cfg.strategy == SeenSet.BloomShardExact)
               })
-          // ---- next frontier: deferred ∪ discovered links (S4) ----
+          // ---- next frontier: deferred ∪ discovered links (S4), LSM ----
           val discovered = okParsed
             .filter(col("p.next").isNotNull)
             .withColumn("durl", resolveHref(col("url"), col("p.next")))
@@ -487,16 +540,46 @@ object CrawlEngine {
               (col("depth") + 1).as("depth"),
               col("warc_ts").as("discovery_ts"),
               col("seed_subject"), col("seed_year"))
-          val nextFrontier = waveLog.filter(col("disp") === "deferred")
+          // duplicate probe: a discovery may duplicate a row in a SKIPPED
+          // cold dir — bloom-hit dirs are read NOW and folded through the
+          // same min-tuple dedup (their unmatched rows are rewritten too),
+          // keeping the frontier duplicate-free without reading the cold
+          // tail. No skipped dirs (the bench/default path) → no job at all.
+          val hitDirs: Seq[String] =
+            if (fplan.skippedDirs.isEmpty) Nil
+            else Frontier.dupHitDirs(spark,
+              discovered.select(col("host"), col("url_hash")),
+              fplan.skippedDirs, fbloomsT, cfg.frontierShards)
+          val survived0 = waveLog.filter(col("disp") === "deferred")
             .select(frontierCols.map(col): _*)
-            .unionByName(discovered)
+          val survived = if (hitDirs.isEmpty) survived0
+            else survived0.unionByName(
+              spark.read.parquet(hitDirs: _*).select(frontierCols.map(col): _*))
+          val nextFrontier = survived.withColumn("is_surv", lit(1))
+            .unionByName(discovered.withColumn("is_surv", lit(0)))
             .groupBy("url", "url_hash") // in-batch dedup: deterministic min tuple
             .agg(min(struct(col("priority"), col("depth"), col("discovery_ts"),
               col("seed_subject"), col("seed_year"))).as("m"),
-              first(col("host")).as("host"))
+              first(col("host")).as("host"),
+              max(col("is_surv")).as("vetted"))
             .select(col("url"), col("url_hash"), col("host"), col("m.priority"),
               col("m.depth"), col("m.discovery_ts"), col("m.seed_subject"),
-              col("m.seed_year"))
+              col("m.seed_year"), col("vetted"))
+            // VETTED rows (probed this wave: open, host allowed — incl. a
+            // merged rediscovery, whose url was just probed via its
+            // surviving copy) go to cold dirs keyed band·F + hostBucket;
+            // unvetted discoveries go to the fresh dir, always read next
+            // wave so seen-duplicates are consumed at first probe
+            .withColumn("fshard", when(col("vetted") === 1,
+              (least(col("priority"), lit(cfg.frontierBands - 1))
+                * cfg.frontierShards
+                + pmod(xxhash64(col("host")), lit(cfg.frontierShards)))
+                .cast("int"))
+              .otherwise(lit(Frontier.FreshShard)))
+          // sidecars only once the frontier is big enough that pruning can
+          // ever engage; their absence just forces dirs to be read (sound)
+          val sidecarOn = liveDirs.flatMap(_._2).sum >= cfg.frontierPruneBytes / 2
+          val nf = if (sidecarOn) nextFrontier.cache() else nextFrontier
           // commit unconditionally — no emptiness-probe count() job: an empty
           // frontier just makes the next iteration's candidate count 0, which
           // ends the loop (one cheap empty pass instead of a per-wave job).
@@ -504,17 +587,35 @@ object CrawlEngine {
           // commits above (it's invisible until published); only its
           // manifest PUBLISH — the actual wave advance, a millisecond
           // rename — waits for the barrier, preserving the resume invariant.
-          // the frontier table is the priority queue (north star): persist it
-          // sorted WITHIN partitions by the priority key — no shuffle, the
-          // next wave's ranked scan reads runs in priority order and the
-          // parquet pages compress/prune better. Global order stays defined
-          // by the politeness rank, not file layout (digest-invariant).
+          // Cold dirs persist sorted by the priority key (priority-queue
+          // layout, north star): the ranked scan reads runs in order and
+          // parquet prunes better. Global order stays defined by the
+          // politeness rank, not file layout (digest-invariant).
           val frontierStage = Future(phase("frontier-stage", System.nanoTime()) {
-            frontierT.stage(nextFrontier.select(frontierCols.map(col): _*)
-              .sortWithinPartitions("priority", "depth", "discovery_ts", "url"),
-              wave + 1)
+            frontierT.stageSharded(nf
+              .repartition(col("fshard"))
+              .sortWithinPartitions("fshard", "priority", "depth",
+                "discovery_ts", "url")
+              .select((frontierCols :+ "fshard").map(col): _*),
+              "fshard", wave + 1)
           })(commitEc)
-          val running = commits.map(f => Future(f())(commitEc))
+          val preLivePairs: Set[Long] = liveDirs.map(_._1)
+            .filter(p => SnapshotTable.shardIdOf(p).exists(_ >= 0))
+            .map(p => Frontier.dirKey(SnapshotTable.waveOf(p).get,
+              SnapshotTable.shardIdOf(p).get)).toSet
+          val sidecarCommits: Seq[() => Unit] = if (!sidecarOn) Nil else {
+            val vetted = nf.filter(col("fshard") =!= Frontier.FreshShard)
+            Seq(
+              () => phase("frontier-stats", System.nanoTime()) {
+                fstatsT.commit(Frontier.statsFor(vetted, wave + 1), wave + 1)
+                Frontier.compactSidecar(fstatsT, preLivePairs, wave + 1)
+              },
+              () => phase("frontier-blooms", System.nanoTime()) {
+                fbloomsT.commit(Frontier.bloomsFor(spark, vetted, wave + 1), wave + 1)
+                Frontier.compactSidecar(fbloomsT, preLivePairs, wave + 1)
+              })
+          }
+          val running = (commits ++ sidecarCommits).map(f => Future(f())(commitEc))
           // settle EVERY commit job (and the stage write) before propagating
           // the first failure (ADVICE r03): rethrowing while siblings still
           // run on the daemon pool races teardown against half-finished
@@ -523,9 +624,21 @@ object CrawlEngine {
             .map(fut => scala.util.Try(
               Await.result(fut, scala.concurrent.duration.Duration.Inf)))
           settled.foreach(_.get) // all settled — first failure propagates clean
-          val stagedDir = Await.result(frontierStage,
+          val stagedDirs = Await.result(frontierStage,
             scala.concurrent.duration.Duration.Inf)
-          frontierT.publishStaged(stagedDir, wave + 1, append = false)
+          // the wave advance: drop exactly what was read (fresh + read cold
+          // + dup-hit dirs — their surviving rows are in the staged dirs),
+          // carry every skipped dir at the manifest level. staged_bytes in
+          // the metadata is the O(touched) evidence a test can assert.
+          frontierT.publishSharded(stagedDirs, wave + 1,
+            dropDirPaths = fplan.readSet ++ hitDirs,
+            metaKv = Map(
+              "read_dirs" -> fplan.readDirs.size.toString,
+              "skipped_dirs" -> fplan.skippedDirs.size.toString,
+              "skipped_rows" -> fplan.skippedRows.toString,
+              "dup_hit_dirs" -> hitDirs.size.toString,
+              "staged_bytes" -> stagedDirs.flatMap(_._2).sum.toString))
+          if (sidecarOn) nf.unpersist()
 
           okParsed.unpersist(); waveLog.unpersist()
           if (timing) System.err.println(

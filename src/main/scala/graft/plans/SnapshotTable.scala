@@ -143,6 +143,11 @@ final class SnapshotTable(spark: SparkSession, root: String, name: String) {
       throw new IllegalStateException(s"snapshot commit race on $name v$v")
   }
 
+  /** Dirs of version `v` with their recorded byte sizes (None when the dir
+    * was staged without annotation) — the planning input for pruned reads.
+    */
+  def dirsWithSizes(v: Int): Seq[(String, Option[Long])] = manifest(v).dirs
+
   /** Dirs visible in version `v`, optionally restricted to the given shard
     * ids (sharded layout, see [[commitSharded]]).
     */
@@ -175,6 +180,59 @@ final class SnapshotTable(spark: SparkSession, root: String, name: String) {
     manifest(v).paths.flatMap(SnapshotTable.shardIdOf)
       .groupBy(identity).view.mapValues(_.size).toMap
 
+  /** Stage a sharded wave WITHOUT publishing: writes each shard's rows to
+    * its own `data/wave=<w>/shard_p=<s>/` dir and returns the touched dirs
+    * with their byte sizes (the manifest annotations). No manifest is
+    * written, so readers cannot see it and a crash leaves only orphan dirs
+    * (overwritten on replay). `shard_p` duplicates `shardCol` so the value
+    * survives in the file data (partitionBy strips its column) — readers
+    * need it without relying on partition-path inference over hand-listed
+    * leaf dirs.
+    */
+  def stageSharded(df: DataFrame, shardCol: String,
+                   wave: Int): Seq[(String, Option[Long])] = {
+    import org.apache.spark.sql.functions.col
+    val dataDir = new Path(base, s"data/wave=$wave")
+    df.withColumn("shard_p", col(shardCol))
+      .write.partitionBy("shard_p").mode(SaveMode.Overwrite)
+      .parquet(dataDir.toString)
+    if (!fs.exists(dataDir)) Seq.empty
+    else fs.listStatus(dataDir).filter(_.getPath.getName.startsWith("shard_p="))
+      .map(st => (st.getPath.toString,
+        Some(fs.getContentSummary(st.getPath).getLength): Option[Long]))
+      .toSeq.sortBy(_._1)
+  }
+
+  /** Publish [[stageSharded]]d dirs as the next snapshot: the new manifest =
+    * pre-wave dirs minus `dropDirPaths` (dirs this wave consumed/replaced)
+    * plus `touched` — manifest-level file reuse for everything else.
+    *
+    * Carry-forward base = the PRE-WAVE manifest (the same snapshot the
+    * wave's reads used), NOT latestVersion: on a mid-wave crash replay
+    * latestVersion is the crashed attempt's same-wave manifest, and if the
+    * drop set differs between the attempts (e.g. a compaction threshold
+    * changed across the restart) a shard the crashed attempt compacted
+    * would lose its pre-wave history silently (ADVICE r04). Identical to
+    * latestVersion in the normal strictly-increasing-wave path. Prior dirs
+    * of THIS wave (a crashed attempt's, overwritten by the data write) are
+    * always superseded by the fresh listing, keeping replay idempotent.
+    */
+  def publishSharded(touched: Seq[(String, Option[Long])], wave: Int,
+                     dropDirPaths: Set[String] = Set.empty,
+                     metaKv: Map[String, String] = Map.empty): Unit = {
+    val prev = latestVersionBefore(wave).map(manifest(_).dirs).getOrElse(Nil)
+    prev.find(d => SnapshotTable.shardIdOf(d._1).isEmpty).foreach { d =>
+      throw new IllegalStateException(
+        s"$name: non-sharded dir ${d._1} in the prior snapshot — this store " +
+          "was written by an older (whole-table-commit) engine version; " +
+          "start a fresh crawl store")
+    }
+    val carried = prev.filter { case (d, _) =>
+      !dropDirPaths.contains(d) && !SnapshotTable.waveOf(d).contains(wave)
+    }
+    publishDirs(carried ++ touched, wave, metaKv)
+  }
+
   /** Iceberg-style sharded DELTA commit: `df` holds ONLY the shards this
     * wave touched (`shardCol: int`); each touched shard's rows are written
     * to their own `data/wave=<w>/shard_p=<s>/` dir, which the new manifest
@@ -184,46 +242,16 @@ final class SnapshotTable(spark: SparkSession, root: String, name: String) {
     * Untouched shards' dirs carry forward unchanged with their recorded
     * sizes. A wave therefore commits only its own bytes plus the shards it
     * compacts — the manifest-reuse behavior a real Iceberg table provides —
-    * never a full-table rewrite. Prior dirs of THIS wave (a crashed
-    * attempt's, just overwritten by the data write above) are always
-    * superseded by the fresh listing, keeping replay idempotent.
+    * never a full-table rewrite.
     */
   def commitSharded(df: DataFrame, shardCol: String, wave: Int,
                     compactedShards: Set[Int] = Set.empty,
                     metaKv: Map[String, String] = Map.empty): Unit = {
-    import org.apache.spark.sql.functions.col
-    val dataDir = new Path(base, s"data/wave=$wave")
-    // shard_p duplicates shardCol so the value survives in the file data
-    // (partitionBy strips its column) — readers need it without relying on
-    // partition-path inference over hand-listed leaf dirs
-    df.withColumn("shard_p", col(shardCol))
-      .write.partitionBy("shard_p").mode(SaveMode.Overwrite)
-      .parquet(dataDir.toString)
-    val touched: Seq[(String, Option[Long])] =
-      if (!fs.exists(dataDir)) Seq.empty
-      else fs.listStatus(dataDir).filter(_.getPath.getName.startsWith("shard_p="))
-        .map(st => (st.getPath.toString,
-          Some(fs.getContentSummary(st.getPath).getLength): Option[Long]))
-        .toSeq.sortBy(_._1)
-    // carry-forward base = the PRE-WAVE manifest (the same snapshot the
-    // insert's blobsBefore read), NOT latestVersion: on a mid-wave crash
-    // replay latestVersion is the crashed attempt's same-wave manifest, and
-    // if compactedShards differs between the attempts (e.g. the compaction
-    // threshold changed across the restart) a shard the crashed attempt
-    // compacted would lose its pre-wave history silently (ADVICE r04).
-    // Identical to latestVersion in the normal strictly-increasing-wave path.
-    val prev = latestVersionBefore(wave).map(manifest(_).dirs).getOrElse(Nil)
-    prev.find(d => SnapshotTable.shardIdOf(d._1).isEmpty).foreach { d =>
-      throw new IllegalStateException(
-        s"$name: non-sharded dir ${d._1} in the prior snapshot — this store " +
-          "was written by an older (whole-table-commit) engine version; " +
-          "start a fresh crawl store")
-    }
-    val carried = prev.filter { case (d, _) =>
-      !compactedShards.contains(SnapshotTable.shardIdOf(d).get) &&
-        !SnapshotTable.waveOf(d).contains(wave)
-    }
-    publishDirs(carried ++ touched, wave, metaKv)
+    val touched = stageSharded(df, shardCol, wave)
+    val dropped = latestVersionBefore(wave).map(manifest(_).paths).getOrElse(Nil)
+      .filter(d => SnapshotTable.shardIdOf(d).exists(compactedShards.contains))
+      .toSet
+    publishSharded(touched, wave, dropped, metaKv)
   }
 
   /** Commit `df` as partition `wave=<wave>`. `append=false` → the new
