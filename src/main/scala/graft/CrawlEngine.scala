@@ -591,9 +591,12 @@ object CrawlEngine {
           // layout, north star): the ranked scan reads runs in order and
           // parquet prunes better. Global order stays defined by the
           // politeness rank, not file layout (digest-invariant).
+          // NO repartition by fshard here: the dedup groupBy already hash-
+          // spreads rows across tasks, and partitionBy splits each task's
+          // rows into its shard dirs. An fshard repartition would funnel a
+          // big fresh wave (every discovery has fshard=-1) into ONE task.
           val frontierStage = Future(phase("frontier-stage", System.nanoTime()) {
             frontierT.stageSharded(nf
-              .repartition(col("fshard"))
               .sortWithinPartitions("fshard", "priority", "depth",
                 "discovery_ts", "url")
               .select((frontierCols :+ "fshard").map(col): _*),
