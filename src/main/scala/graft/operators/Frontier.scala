@@ -64,6 +64,13 @@ object Frontier {
   /** Sentinel shard for unvetted (fresh-discovery) dirs. */
   val FreshShard: Int = -1
 
+  /** A cold shard accumulating this many live dirs gets them all force-read
+    * (= folded into one) on the next planned wave — bounds live dirs at
+    * threshold × bands × buckets instead of O(waves). The frontier analog
+    * of the seen-set's blob-count compaction.
+    */
+  val CompactDirsPerShard: Int = 8
+
   /** Pack a live dir's (wave, shard) into one long key (shard < 2^20). */
   def dirKey(wave: Int, shard: Int): Long = (wave.toLong << 20) | shard.toLong
 
@@ -102,9 +109,12 @@ object Frontier {
       dirKey(SnapshotTable.waveOf(p).get, SnapshotTable.shardIdOf(p).get) -> p
     }.toMap
     import spark.implicits._
+    // live-key restriction via broadcast join, not isin: at 10^5+ live dirs
+    // an isin literal list is a pathological expression tree
+    val liveKeysDf = liveKey.keys.toSeq.toDF("k")
     val stats = statsT.read()
       .withColumn("k", (col("fwave").cast("long") * (1L << 20)) + col("fshard"))
-      .filter(col("k").isin(liveKey.keys.toSeq: _*))
+      .join(broadcast(liveKeysDf), Seq("k"))
       .join(broadcast(robots.select(col("host"), col("allowed"),
         col("crawl_delay_ms"))), Seq("host"), "left")
       .withColumn("allowed", coalesce(col("allowed"), lit(true)))
@@ -151,7 +161,15 @@ object Frontier {
       SnapshotTable.shardIdOf(p).exists(_ >= 0) &&
         decided.contains(dirKey(SnapshotTable.waveOf(p).get,
           SnapshotTable.shardIdOf(p).get)))
-    val read = (forced ++ paths.filter(needed.contains)).distinct
+    // dir-count compaction: a shard holding ≥ CompactDirsPerShard live dirs
+    // has ALL of them force-read — the normal wave flow then folds their
+    // survivors into one new dir. Reading extra dirs never changes
+    // dispositions (their non-winning rows rank past the budget and defer
+    // as they would have unread), so this is pure manifest hygiene: live
+    // dirs stay ≤ threshold × bands × buckets instead of O(waves).
+    val compactForced = cold.groupBy(p => SnapshotTable.shardIdOf(p).get)
+      .valuesIterator.filter(_.size >= CompactDirsPerShard).flatten.toSeq
+    val read = (forced ++ compactForced ++ paths.filter(needed.contains)).distinct
     val skipped = paths.filterNot(read.contains)
     val skippedKeys = skipped.map(p =>
       dirKey(SnapshotTable.waveOf(p).get, SnapshotTable.shardIdOf(p).get)).toSet
@@ -208,11 +226,12 @@ object Frontier {
     if (unreadCold.isEmpty) return Nil
     val keyOf: Map[Long, String] = unreadCold.map(p =>
       dirKey(SnapshotTable.waveOf(p).get, SnapshotTable.shardIdOf(p).get) -> p).toMap
+    import spark.implicits._
     val blobs: Map[Long, Array[Byte]] =
       if (bloomsT.isEmpty) Map.empty
       else bloomsT.read()
         .withColumn("k", (col("fwave").cast("long") * (1L << 20)) + col("fshard"))
-        .filter(col("k").isin(keyOf.keys.toSeq: _*))
+        .join(broadcast(keyOf.keys.toSeq.toDF("k")), Seq("k"))
         .select(col("k"), col("blob"))
         .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
     val missing = keyOf.keys.filterNot(blobs.contains).map(keyOf).toSeq
@@ -249,10 +268,15 @@ object Frontier {
                      threshold: Int = 16): Unit = {
     val v = t.latestVersion
     if (v.isEmpty || t.versionDirs(v.get).size < threshold) return
+    import org.apache.spark.sql.SparkSession
+    val spark = SparkSession.active
+    import spark.implicits._
+    val liveDf = livePairs.toSeq.toDF("k").withColumn("live", lit(true))
     val kept = t.read()
       .withColumn("k", (col("fwave").cast("long") * (1L << 20)) + col("fshard"))
-      .filter(col("fwave") === keepWave || col("k").isin(livePairs.toSeq: _*))
-      .drop("k")
+      .join(broadcast(liveDf), Seq("k"), "left")
+      .filter(col("fwave") === keepWave || col("live"))
+      .drop("k", "live")
     // stage under a version-unique NEGATIVE wave path: the fold reads the
     // very dirs a same-wave overwrite would delete mid-read
     val dir = t.stage(kept, -(v.get + 2))

@@ -15,6 +15,8 @@ import graft.plans.SnapshotTable
   * (read dirs + discoveries), not the frontier.
   *
   * Usage: FrontierProbe <sfDir> <amplify> <maxWaves> [budgetMs=1000]
+  *                      [gateBytes=0 — pass a huge value for the
+  *                       unpruned (always-read) comparison run]
   */
 object FrontierProbe {
   def main(args: Array[String]): Unit = {
@@ -22,6 +24,7 @@ object FrontierProbe {
     val amplify = args(1).toInt
     val maxWaves = args(2).toInt
     val budgetMs = if (args.length > 3) args(3).toLong else 1000L
+    val gateBytes = if (args.length > 4) args(4).toLong else 0L
     val spark = SparkSession.builder().master("local[32]")
       .appName("graft-frontier-probe")
       .config("spark.sql.shuffle.partitions", "32")
@@ -35,7 +38,7 @@ object FrontierProbe {
     val r = CrawlEngine.run(spark, sfDir, store, CrawlEngine.Config(
       waveDurationMs = budgetMs, maxWaves = maxWaves, amplify = amplify,
       strategy = SeenSet.BloomShardExact,
-      frontierPruneBytes = 0L)) // sidecars + pruning from wave 0
+      frontierPruneBytes = gateBytes)) // 0 = sidecars + pruning from wave 0
     val sec = (System.nanoTime() - t0) / 1e9
     val ft = new SnapshotTable(spark, store, "frontier")
     println("wave | live_dirs | read | skipped | skipped_rows | staged_bytes | live_bytes | staged/live")

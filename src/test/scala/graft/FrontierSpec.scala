@@ -122,6 +122,49 @@ class FrontierSpec extends AnyFunSuite {
       .intersect(ft.versionDirs(v - 1).toSet)
     assert(carried.nonEmpty,
       "skipped dirs must appear verbatim in the next manifest")
+    // dir-count compaction bounds manifest growth: no cold shard may hold
+    // more than the fold threshold's worth of live dirs
+    val perShard = ft.versionDirs(ft.latestVersion.get)
+      .flatMap(SnapshotTable.shardIdOf).filter(_ >= 0)
+      .groupBy(identity).values.map(_.size)
+    assert(perShard.forall(_ <= Frontier.CompactDirsPerShard),
+      s"a shard exceeded the dir-fold threshold: ${perShard.max} dirs")
+  }
+
+  test("dupHitDirs: a discovery colliding with an unread dir's bloom names " +
+       "exactly that dir; missing blobs are conservative hits; clean " +
+       "discoveries name nothing") {
+    import spark.implicits._
+    val root = freshStore("fdup")
+    val ft = new SnapshotTable(spark, root, "frontier")
+    val bloomsT = new SnapshotTable(spark, root, "frontier_blooms")
+    val F = 32
+    // a cold row deferred in dir (wave=1, shard=band1·F+bucket) — compute
+    // its real bucket from the engine's own hash
+    val host = "h7.example.test"
+    val url = s"https://$host/bece/questions/x"
+    val Seq((bucket, urlHash)) = Seq(url).toDF("url")
+      .select(pmod(xxhash64(lit(host)), lit(F)).cast("int"), xxhash64(col("url")))
+      .as[(Int, Long)].collect().toSeq
+    val shard = F + bucket // band 1
+    val rows = Seq((shard, urlHash, host)).toDF("fshard", "url_hash", "host")
+    ft.publishSharded(ft.stageSharded(rows, "fshard", 1), 1)
+    val dir = ft.versionDirs(ft.latestVersion.get).head
+    bloomsT.commit(Frontier.bloomsFor(spark,
+      rows.withColumn("fshard", col("fshard")), 1), 1)
+    def probe(u: String, h: String) = Frontier.dupHitDirs(spark,
+      Seq((h, u)).toDF("host", "u")
+        .select(col("host"), xxhash64(col("u")).as("url_hash")),
+      Seq(dir), bloomsT, F)
+    assert(probe(url, host) == Seq(dir), "the rediscovered url must hit its dir")
+    assert(probe(s"https://$host/bece/questions/other-page", host).isEmpty,
+      "an unrelated url of the same host must not hit (1% fpp notwithstanding)")
+    // a dir with NO bloom blob is a conservative hit (reading is sound)
+    val naked = new SnapshotTable(spark, freshStore("fdup2"), "frontier_blooms")
+    assert(Frontier.dupHitDirs(spark,
+      Seq((host, url)).toDF("host", "u")
+        .select(col("host"), xxhash64(col("u")).as("url_hash")),
+      Seq(dir), naked, F) == Seq(dir))
   }
 
   test("pruned deep crawl RESUMES to the identical final state (sidecar " +
