@@ -10,11 +10,14 @@ import graft.sources.PagesGen
 /** Mostly rows-only queries (no SQL-expressible oracle — html parsing,
   * sketching, LSH): the driver records a rows>0 check; their semantic
   * verification lives in `sbt -batch test` (golden fixtures vs the CPython
-  * oracle, engine invariants, strategy-equivalence). The multimodal pair is
-  * the exception: the decode STUB's byte arithmetic is deterministic and
-  * SQL-expressible, so mm1/mm2 get full DuckDB oracles ([[oracles]]) that
-  * pin the real contract around the stub — batch shape, frame-sampling
-  * arithmetic, aggregation — not the fake decode itself.
+  * oracle, engine invariants, strategy-equivalence). The exceptions
+  * ([[oracles]]): the decode STUB's byte arithmetic is deterministic and
+  * SQL-expressible, so mm1/mm2 get full DuckDB oracles that pin the real
+  * contract around the stub — batch shape, frame-sampling arithmetic,
+  * aggregation — not the fake decode itself; and c3's output is itself an
+  * invariant verdict with a SQL-expressible expected value, so its oracle
+  * makes a broken extraction a driver-visible red, not just an sbt-test
+  * failure.
   */
 object QueriesCrawlOps {
   import Queries.Q
@@ -26,6 +29,16 @@ object QueriesCrawlOps {
     * (i·4) mod bytes and takes ≤16 bytes.
     */
   val oracles: Map[String, String] = Map(
+    // c3's output IS the invariant's verdict: n_mismatch counts pages whose
+    // html-extracted text differs from the golden `text` column, and pages
+    // are one per documents row (PagesGen.pages, factor 1). The oracle pins
+    // the expected verdict (0 mismatches over exactly count(documents)
+    // pages), so a broken extraction flips the driver compare red — the
+    // same style as mm1/mm2's arithmetic-contract oracles.
+    "c3_text_invariant" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_pages,
+        |       CAST(0 AS BIGINT) AS n_mismatch
+        |FROM documents""".stripMargin,
     "mm1_multimodal_features" ->
       """SELECT kind,
         |  CAST(count(*) AS BIGINT) AS n_assets,
