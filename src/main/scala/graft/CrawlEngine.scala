@@ -126,11 +126,23 @@ object CrawlEngine {
       // startup; opt out only for corpora already checked upstream.
       assertPagesUnique: Boolean = true,
       // frontier LSM layout (operators/Frontier): cold dirs are keyed
-      // band·shards + hostBucket; fresh discoveries live in shard -1. At
-      // 10^10 size shards ≈ the cluster's task fan-out and bands to the
-      // crawl's depth profile (band = min(priority, bands-1)).
+      // (band·slices + tsSlice)·shards + hostBucket; fresh discoveries live
+      // in shard -1. At 10^10 size shards ≈ the cluster's task fan-out and
+      // bands to the crawl's depth profile (band = min(priority, bands-1)).
       frontierShards: Int = 32,
       frontierBands: Int = 8,
+      // order-aligned slicing WITHIN a band (VERDICT r04 residual: the
+      // ACTIVE band was one indivisible slab per host-bucket, rewritten
+      // every wave). tsSlice = (discovery_ts epoch-sec / sliceSecs) mod
+      // slices is monotone in the sort key's third component over any
+      // window < slices·sliceSecs, so per-dir min/max stats separate a
+      // band's early rows from its late ones and the budget+1 rule skips
+      // the band's own cold tail. Wrap past that window only degrades
+      // pruning locally — NEVER correctness (the planner is key-range-
+      // stat-based and slicing-agnostic). Applied only once sidecars are
+      // on (same byte gate), so bench-scale waves keep the coarse layout.
+      frontierTsSlices: Int = 4,
+      frontierTsSliceSecs: Long = 21600L,
       // frontier read pruning + sidecar writes engage once the frontier's
       // manifest bytes pass this (sidecars at half of it, so stats exist by
       // the time pruning starts); below it every dir is read and the
@@ -215,8 +227,10 @@ object CrawlEngine {
           cfg: Config = Config()): Result = {
     import spark.implicits._
     // frontier dir keys pack (wave, shard) into a long with 20 shard bits
-    require(cfg.frontierBands.toLong * cfg.frontierShards < (1L << 20),
-      "frontierBands * frontierShards must stay under 2^20")
+    require(cfg.frontierTsSlices >= 1, "frontierTsSlices must be >= 1")
+    require(cfg.frontierBands.toLong * cfg.frontierTsSlices *
+      cfg.frontierShards < (1L << 20),
+      "frontierBands * frontierTsSlices * frontierShards must stay under 2^20")
 
     val frontierT = new SnapshotTable(spark, storeRoot, "frontier")
     val fetchlogT = new SnapshotTable(spark, storeRoot, "fetchlog")
@@ -555,6 +569,16 @@ object CrawlEngine {
           val survived = if (hitDirs.isEmpty) survived0
             else survived0.unionByName(
               spark.read.parquet(hitDirs: _*).select(frontierCols.map(col): _*))
+          // sidecars only once the frontier is big enough that pruning can
+          // ever engage; their absence just forces dirs to be read (sound).
+          // The same gate turns on ts-slicing: finer dirs pay off only when
+          // the planner can skip them (deterministic on replay — the gate
+          // reads the same pre-wave manifest the planner does).
+          val sidecarOn = liveDirs.flatMap(_._2).sum >= cfg.frontierPruneBytes / 2
+          val sliceCol =
+            if (!sidecarOn || cfg.frontierTsSlices <= 1) lit(0)
+            else pmod(floor(unix_timestamp(col("discovery_ts"))
+              / cfg.frontierTsSliceSecs), lit(cfg.frontierTsSlices)).cast("int")
           val nextFrontier = survived.withColumn("is_surv", lit(1))
             .unionByName(discovered.withColumn("is_surv", lit(0)))
             .groupBy("url", "url_hash") // in-batch dedup: deterministic min tuple
@@ -567,18 +591,17 @@ object CrawlEngine {
               col("m.seed_year"), col("vetted"))
             // VETTED rows (probed this wave: open, host allowed — incl. a
             // merged rediscovery, whose url was just probed via its
-            // surviving copy) go to cold dirs keyed band·F + hostBucket;
-            // unvetted discoveries go to the fresh dir, always read next
-            // wave so seen-duplicates are consumed at first probe
+            // surviving copy) go to cold dirs keyed
+            // (band·S + tsSlice)·F + hostBucket; unvetted discoveries go to
+            // the fresh dir, always read next wave so seen-duplicates are
+            // consumed at first probe
             .withColumn("fshard", when(col("vetted") === 1,
-              (least(col("priority"), lit(cfg.frontierBands - 1))
+              ((least(col("priority"), lit(cfg.frontierBands - 1))
+                * cfg.frontierTsSlices + sliceCol)
                 * cfg.frontierShards
                 + pmod(xxhash64(col("host")), lit(cfg.frontierShards)))
                 .cast("int"))
               .otherwise(lit(Frontier.FreshShard)))
-          // sidecars only once the frontier is big enough that pruning can
-          // ever engage; their absence just forces dirs to be read (sound)
-          val sidecarOn = liveDirs.flatMap(_._2).sum >= cfg.frontierPruneBytes / 2
           val nf = if (sidecarOn) nextFrontier.cache() else nextFrontier
           // commit unconditionally — no emptiness-probe count() job: an empty
           // frontier just makes the next iteration's candidate count 0, which

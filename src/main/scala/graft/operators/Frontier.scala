@@ -11,7 +11,12 @@ import graft.plans.SnapshotTable
   *
   * The frontier is a dir-granular LSM over [[SnapshotTable]]:
   *
-  *   data/wave=<w>/shard_p=<s>   s = band·F + hostBucket   (cold, VETTED)
+  *   data/wave=<w>/shard_p=<s>                             (cold, VETTED)
+  *       s = (band·S + tsSlice)·F + hostBucket — S order-aligned ts-slices
+  *       per band (engaged with the sidecar gate; S=1 below it), so the
+  *       ACTIVE band is not one indivisible slab: its early slice's
+  *       budget+1 rows prove its late slices deferred, and the band's own
+  *       cold tail is skipped like any other band's
   *   data/wave=<w>/shard_p=-1                              (fresh, UNVETTED)
   *
   * **Fresh dirs** hold a wave's discovered links. They are ALWAYS read the
@@ -66,8 +71,8 @@ object Frontier {
 
   /** A cold shard accumulating this many live dirs gets them all force-read
     * (= folded into one) on the next planned wave — bounds live dirs at
-    * threshold × bands × buckets instead of O(waves). The frontier analog
-    * of the seen-set's blob-count compaction.
+    * threshold × bands × tsSlices × buckets instead of O(waves). The
+    * frontier analog of the seen-set's blob-count compaction.
     */
   val CompactDirsPerShard: Int = 8
 
@@ -166,7 +171,7 @@ object Frontier {
     // survivors into one new dir. Reading extra dirs never changes
     // dispositions (their non-winning rows rank past the budget and defer
     // as they would have unread), so this is pure manifest hygiene: live
-    // dirs stay ≤ threshold × bands × buckets instead of O(waves).
+    // dirs stay ≤ threshold × bands × tsSlices × buckets instead of O(waves).
     val compactForced = cold.groupBy(p => SnapshotTable.shardIdOf(p).get)
       .valuesIterator.filter(_.size >= CompactDirsPerShard).flatten.toSeq
     val read = (forced ++ compactForced ++ paths.filter(needed.contains)).distinct

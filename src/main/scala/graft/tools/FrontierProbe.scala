@@ -17,6 +17,8 @@ import graft.plans.SnapshotTable
   * Usage: FrontierProbe <sfDir> <amplify> <maxWaves> [budgetMs=1000]
   *                      [gateBytes=0 — pass a huge value for the
   *                       unpruned (always-read) comparison run]
+  *                      [tsSlices=4 — pass 1 for the unsliced layout]
+  *                      [tsSliceSecs=21600]
   */
 object FrontierProbe {
   def main(args: Array[String]): Unit = {
@@ -25,6 +27,8 @@ object FrontierProbe {
     val maxWaves = args(2).toInt
     val budgetMs = if (args.length > 3) args(3).toLong else 1000L
     val gateBytes = if (args.length > 4) args(4).toLong else 0L
+    val tsSlices = if (args.length > 5) args(5).toInt else 4
+    val tsSliceSecs = if (args.length > 6) args(6).toLong else 21600L
     val spark = SparkSession.builder().master("local[32]")
       .appName("graft-frontier-probe")
       .config("spark.sql.shuffle.partitions", "32")
@@ -38,7 +42,8 @@ object FrontierProbe {
     val r = CrawlEngine.run(spark, sfDir, store, CrawlEngine.Config(
       waveDurationMs = budgetMs, maxWaves = maxWaves, amplify = amplify,
       strategy = SeenSet.BloomShardExact,
-      frontierPruneBytes = gateBytes)) // 0 = sidecars + pruning from wave 0
+      frontierPruneBytes = gateBytes, // 0 = sidecars + pruning from wave 0
+      frontierTsSlices = tsSlices, frontierTsSliceSecs = tsSliceSecs))
     val sec = (System.nanoTime() - t0) / 1e9
     val ft = new SnapshotTable(spark, store, "frontier")
     println("wave | live_dirs | read | skipped | skipped_rows | staged_bytes | live_bytes | staged/live")

@@ -167,6 +167,46 @@ class FrontierSpec extends AnyFunSuite {
       Seq(dir), naked, F) == Seq(dir))
   }
 
+  test("ts-sliced cold dirs (the active-band residual): digests, results " +
+       "and per-wave counts identical to the unsliced layout, slices " +
+       "actually materialize, and row pruning never regresses") {
+    // slice width sized to the fixture: discovery_ts = Epoch + docId s
+    // (docId 0..499 at sf0.001), so 125 s windows give 4 monotone slices
+    val base = CrawlEngine.Config(waveDurationMs = 1000L, maxWaves = 10,
+      strategy = SeenSet.BloomShardExact, frontierPruneBytes = 0L,
+      frontierTsSliceSecs = 125L)
+    val sFlat = freshStore("fslice-off")
+    val rFlat = CrawlEngine.run(spark, sf, sFlat, base.copy(frontierTsSlices = 1))
+    val sSl = freshStore("fslice-on")
+    val rSl = CrawlEngine.run(spark, sf, sSl, base) // default: 4 slices
+    assert(rSl == rFlat, s"sliced run diverged: $rSl vs $rFlat")
+    assert(CrawlEngine.traceDigest(spark, sSl) ==
+      CrawlEngine.traceDigest(spark, sFlat), "fetch order must be identical")
+    def summary(s: String) = CrawlEngine.waveSummary(spark, s)
+      .orderBy("wave").collect().map(_.toString).toSeq
+    assert(summary(sSl) == summary(sFlat))
+    // slices materialized: some band holds cold dirs in >1 ts-slice
+    // (slice = (shard / F) mod S, band = shard / (F·S))
+    val ft = new SnapshotTable(spark, sSl, "frontier")
+    val S = base.frontierTsSlices
+    val F = base.frontierShards
+    val slicesPerBand = (1 to ft.latestVersion.get)
+      .flatMap(v => ft.versionDirs(v).flatMap(SnapshotTable.shardIdOf))
+      .filter(_ >= 0).distinct
+      .groupBy(sh => sh / (F * S)).view.mapValues(_.map(sh => (sh / F) % S).distinct.size)
+    assert(slicesPerBand.values.exists(_ > 1),
+      s"no band ever split across ts-slices — slicing is inert: $slicesPerBand")
+    // finer dirs can only improve (or tie) the provably-deferred row count
+    def skippedTotal(s: String): Long = {
+      val t = new SnapshotTable(spark, s, "frontier")
+      (1 to t.latestVersion.get)
+        .map(v => t.metaAt(v).getOrElse("skipped_rows", "0").toLong).sum
+    }
+    val (skF, skS) = (skippedTotal(sFlat), skippedTotal(sSl))
+    assert(skS >= skF,
+      s"slicing must never skip fewer provably-deferred rows ($skS < $skF)")
+  }
+
   test("pruned deep crawl RESUMES to the identical final state (sidecar " +
        "planning is replay-deterministic)") {
     val cfg = CrawlEngine.Config(waveDurationMs = 1000L, maxWaves = 10,
