@@ -7,28 +7,212 @@ import graft.functions.{Extract, QuestionParser, TextAnalysis}
 import graft.operators.{BatchSink, Dedup, Enrichment, Multimodal, Politeness, Restructure, Similarity}
 import graft.sources.PagesGen
 
-/** Mostly rows-only queries (no SQL-expressible oracle — html parsing,
-  * sketching, LSH): the driver records a rows>0 check; their semantic
-  * verification lives in `sbt -batch test` (golden fixtures vs the CPython
-  * oracle, engine invariants, strategy-equivalence). The exceptions
-  * ([[oracles]]): the decode STUB's byte arithmetic is deterministic and
-  * SQL-expressible, so mm1/mm2 get full DuckDB oracles that pin the real
-  * contract around the stub — batch shape, frame-sampling arithmetic,
-  * aggregation — not the fake decode itself; and c3's output is itself an
-  * invariant verdict with a SQL-expressible expected value, so its oracle
-  * makes a broken extraction a driver-visible red, not just an sbt-test
-  * failure.
+/** Crawl-op + sketch queries. The html-parsing family (c2, r1–r6, w1) is
+  * rows-only — no SQL engine can re-run the CPython-parity page parse, so
+  * their semantic verification lives in `sbt -batch test` (golden fixtures
+  * vs the CPython oracle, engine invariants, strategy-equivalence). The
+  * whole SKETCH family (m1/m2/m4/n2/n3/t4) carries full DuckDB oracles:
+  * every sketch hash is the SqlHash 61-bit mul-mod family
+  * (graft.util.SqlHash), chosen so the oracle can regenerate signatures,
+  * band keys, LSH buckets and IVF cells EXACTLY in SQL (HUGEINT for the
+  * 122-bit products) — candidate sets, not just verified outputs, are
+  * cross-engine-checked. The decode STUB's byte arithmetic is deterministic
+  * and SQL-expressible too, so mm1/mm2 pin the real contract around the
+  * stub; c3's output is an invariant verdict with a SQL-expressible
+  * expected value.
   */
 object QueriesCrawlOps {
   import Queries.Q
 
-  /** DuckDB twins of the multimodal queries. The asset model they encode is
+  /** SQL fragment: the SqlHash.hashToken 61-bit hash of string column/expr
+    * `tok` — dual char-polynomial folds combined, one mul-mod mix.
+    */
+  private def sqlTokHash(tok: String): String =
+    s"""CAST(((
+       |      (list_reduce(list_prepend(0::BIGINT, list_transform(string_split($tok, ''),
+       |          ch -> unicode(ch)::BIGINT)), (a, c) -> (a * 31 + c) % 2147483647) * 2147483648
+       |       + list_reduce(list_prepend(0::BIGINT, list_transform(string_split($tok, ''),
+       |          ch -> unicode(ch)::BIGINT)), (a, c) -> (a * 37 + c) % 2147483629))::HUGEINT
+       |      * 1181783497276652981) % 2305843009213693951) AS BIGINT)""".stripMargin
+
+  /** SQL fragment: SqlHash.hpComponent for packed-key expression `key`
+    * (two mul-mod rounds, then the [-1,1) map).
+    */
+  private def sqlHp(key: String): String =
+    s"""(CAST((((($key)::HUGEINT * 1181783497276652981) % 2305843009213693951)
+       |  * 1476695655912598219) % 2305843009213693951 % 100000 AS DOUBLE)
+       |  / 50000.0 - 1.0)""".stripMargin
+
+  /** SQL fragment: sequential-fold dot product of `embedding` with the
+    * (tableExpr, planeExpr) hyperplane — the exact double arithmetic of
+    * Similarity.bucketOf (prepend-0 fold = the loop's running sum).
+    */
+  private def sqlPlaneDot(tableExpr: String, planeExpr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(embedding, (x, i) -> CAST(x AS DOUBLE)
+       |      * ${sqlHp(s"($tableExpr) * 1099511627776 + ($planeExpr) * 1048576 + (i - 1)")})),
+       |  (a, b) -> a + b)""".stripMargin
+
+  /** SQL fragment (CTE list): per-(vec_id, table) LSH bucket over 4 tables ×
+    * 4 planes — the n2/m4 published configuration.
+    */
+  private val sqlLshBuckets: String =
+    s"""dots AS (
+       |  SELECT vec_id, rt.t AS t, rp.p AS p, ${sqlPlaneDot("rt.t", "rp.p")} AS dot
+       |  FROM embeddings CROSS JOIN range(4) rt(t) CROSS JOIN range(4) rp(p)),
+       |bkt AS (
+       |  SELECT vec_id, t,
+       |    CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM dots GROUP BY vec_id, t)""".stripMargin
+
+  /** DuckDB twins. Multimodal family: the asset model they encode is
     * Multimodal.assets/decodeStub/frameCount verbatim: payload = UTF-8 text
     * bytes (`strlen` = byte length in DuckDB), kind = doc_id mod 3, width =
     * 64 + (doc_id%16)·8, video frames = 1 + bytes%32, frame i starts at
-    * (i·4) mod bytes and takes ≤16 bytes.
+    * (i·4) mod bytes and takes ≤16 bytes. Sketch family: line-for-line SQL
+    * twins of the SqlHash-based operators (see object doc).
     */
   val oracles: Map[String, String] = Map(
+    // t4: rolling fingerprint — nested char/token polynomial folds, every
+    // intermediate < 2^62 (the same arithmetic as TextAnalysis.fingerprintHof)
+    "t4_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text, ' '), tok ->
+        |    (list_reduce(list_prepend(0::BIGINT, list_transform(string_split(tok, ''),
+        |        ch -> unicode(ch)::BIGINT)), (a, c) -> (a * 31 + c) % 2147483647) * 2147483648
+        |     + list_reduce(list_prepend(0::BIGINT, list_transform(string_split(tok, ''),
+        |        ch -> unicode(ch)::BIGINT)), (a, c) -> (a * 37 + c) % 2147483629)) % 1000000007)),
+        |    (acc, h) -> (acc * 131 + h) % 1000000007) AS fingerprint
+        |FROM documents""".stripMargin,
+
+    // m2: 61-bit SimHash — per-token hash, per-bit vote sums, 4×16-bit band
+    // candidate join, exact hamming verify
+    "m2_simhash_pairs" ->
+      s"""WITH th AS (
+         |  SELECT doc_id, ${sqlTokHash("tok")} AS h
+         |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)),
+         |bits AS (
+         |  SELECT doc_id, r.k, sum(CASE WHEN (h >> r.k) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM th CROSS JOIN range(61) r(k) GROUP BY doc_id, r.k),
+         |sig AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, simhash, rb.b AS band, (simhash >> (rb.b * 16)) & 65535 AS band_key
+         |  FROM sig CROSS JOIN range(4) rb(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         a.simhash AS sh_a, b.simhash AS sh_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 6""".stripMargin,
+
+    // m1: MinHash signatures (32 seeded minima over 2-gram shingles), 16
+    // 2-row band keys, candidate join, exact token-set Jaccard verify
+    "m1_minhash_lsh" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+         |sh AS (
+         |  SELECT doc_id, concat_ws(' ', toks[s.i + 1], toks[s.i + 2]) AS shingle
+         |  FROM tk, LATERAL (SELECT unnest(generate_series(0, greatest(len(toks) - 2, 0))) AS i) s),
+         |hs AS (
+         |  SELECT doc_id, ${sqlTokHash("shingle")} AS base FROM sh),
+         |mh AS (
+         |  SELECT doc_id, rj.j AS j,
+         |    min(CAST(((((2 * rj.j + 1)::HUGEINT * 1476695655912598219) % 2305843009213693951) * base
+         |              + ((rj.j + 1)::HUGEINT * 1131312115126579579) % 2305843009213693951)
+         |        % 2305843009213693951 AS BIGINT)) AS v
+         |  FROM hs CROSS JOIN range(32) rj(j) GROUP BY doc_id, rj.j),
+         |bd AS (
+         |  SELECT a.doc_id, a.j // 2 AS band,
+         |    CAST((a.v::HUGEINT * 1476695655912598219 + b.v) % 2305843009213693951 AS BIGINT) AS band_key
+         |  FROM mh a JOIN mh b ON a.doc_id = b.doc_id AND b.j = a.j + 1
+         |  WHERE a.j % 2 = 0),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bd a JOIN bd b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |ts AS (
+         |  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS tset FROM documents)
+         |SELECT c.id_a, c.id_b,
+         |  round(len(list_intersect(ta.tset, tb.tset)) * 1.0 /
+         |        len(list_distinct(list_concat(ta.tset, tb.tset))), 4) AS jaccard
+         |FROM cand c JOIN ts ta ON ta.doc_id = c.id_a JOIN ts tb ON tb.doc_id = c.id_b
+         |WHERE round(len(list_intersect(ta.tset, tb.tset)) * 1.0 /
+         |            len(list_distinct(list_concat(ta.tset, tb.tset))), 4) >= 0.3""".stripMargin,
+
+    // n2: LSH ANN top-3 — query side multi-probes (base + 1-bit flips),
+    // corpus side keeps its base bucket, exact cosine within probed buckets,
+    // best-of across 4 tables
+    "n2_ann_lsh" ->
+      s"""WITH $sqlLshBuckets,
+         |qp AS (
+         |  SELECT vec_id AS query_id, t,
+         |    xor(bucket, CASE WHEN f.f = 0 THEN 0 ELSE (1::BIGINT << (f.f - 1)) END) AS bucket
+         |  FROM bkt CROSS JOIN range(5) f(f) WHERE vec_id < 5),
+         |cb AS (SELECT vec_id AS neighbor_id, t, bucket FROM bkt WHERE vec_id >= 5),
+         |met AS (
+         |  SELECT DISTINCT q.query_id, c.neighbor_id,
+         |    round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+         |                                 CAST(ce.embedding AS DOUBLE[])), 4) AS cos
+         |  FROM qp q JOIN cb c ON q.t = c.t AND q.bucket = c.bucket
+         |  JOIN embeddings qe ON qe.vec_id = q.query_id
+         |  JOIN embeddings ce ON ce.vec_id = c.neighbor_id)
+         |SELECT query_id, rnk, neighbor_id, cos FROM (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM met)
+         |WHERE rnk <= 3""".stripMargin,
+
+    // m4: LSH-blocked near-dup — one side probes, the other keeps base,
+    // cosine >= 0.45 verify, distinct across tables
+    "m4_embedding_neardup_lsh" ->
+      s"""WITH $sqlLshBuckets,
+         |lp AS (
+         |  SELECT vec_id AS id_a, t,
+         |    xor(bucket, CASE WHEN f.f = 0 THEN 0 ELSE (1::BIGINT << (f.f - 1)) END) AS bucket
+         |  FROM bkt CROSS JOIN range(5) f(f)),
+         |met AS (
+         |  SELECT DISTINCT l.id_a, r.vec_id AS id_b,
+         |    round(list_cosine_similarity(CAST(ae.embedding AS DOUBLE[]),
+         |                                 CAST(be.embedding AS DOUBLE[])), 4) AS cos
+         |  FROM lp l JOIN bkt r ON l.t = r.t AND l.bucket = r.bucket AND l.id_a < r.vec_id
+         |  JOIN embeddings ae ON ae.vec_id = l.id_a
+         |  JOIN embeddings be ON be.vec_id = r.vec_id)
+         |SELECT id_a, id_b, cos FROM met WHERE cos >= 0.45""".stripMargin,
+
+    // n3: IVF ANN top-3 — 16 deterministic centroids (hpComponent key space
+    // 65536+c), corpus indexed under its top-2 cells, queries probe their
+    // top-8, exact cosine within met cells
+    "n3_ann_ivf" ->
+      s"""WITH sc AS (
+         |  SELECT vec_id, rc.c AS cell, ${sqlPlaneDot("65536 + rc.c", "0")} AS dot,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+         |      (a, b) -> a + b) AS nrm
+         |  FROM embeddings CROSS JOIN range(16) rc(c)),
+         |rankd AS (
+         |  SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY CASE WHEN nrm > 0 THEN dot / sqrt(nrm) ELSE 0 END DESC, cell) AS rk
+         |  FROM sc),
+         |cb AS (SELECT vec_id AS neighbor_id, cell FROM rankd WHERE rk <= 2 AND vec_id >= 5),
+         |qb AS (SELECT vec_id AS query_id, cell FROM rankd WHERE rk <= 8 AND vec_id < 5),
+         |met AS (
+         |  SELECT DISTINCT q.query_id, c.neighbor_id,
+         |    round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+         |                                 CAST(ce.embedding AS DOUBLE[])), 4) AS cos
+         |  FROM qb q JOIN cb c ON q.cell = c.cell
+         |  JOIN embeddings qe ON qe.vec_id = q.query_id
+         |  JOIN embeddings ce ON ce.vec_id = c.neighbor_id)
+         |SELECT query_id, rnk, neighbor_id, cos FROM (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM met)
+         |WHERE rnk <= 3""".stripMargin,
+
     // c3's output IS the invariant's verdict: n_mismatch counts pages whose
     // html-extracted text differs from the golden `text` column, and pages
     // are one per documents row (PagesGen.pages, factor 1). The oracle pins

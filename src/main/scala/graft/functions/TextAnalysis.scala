@@ -71,9 +71,11 @@ object TextAnalysis {
   /** Polynomial rolling-hash fingerprint over tokens, compiled: ONE tight
     * loop per row instead of an interpreted `aggregate` lambda step per
     * token (the same argument that justified the MinHash/SimHash UDFs —
-    * Spark evaluates higher-order-function lambdas interpreted). Hash values
-    * use Spark's own xxhash64 (seed 42), so outputs are bit-identical to the
-    * HOF formulation below.
+    * Spark evaluates higher-order-function lambdas interpreted). The
+    * per-token hash is the SqlHash pre-mix dual-polynomial (every
+    * intermediate < 2^62), so outputs are bit-identical to the HOF
+    * formulation below AND to the t4 DuckDB oracle — the fingerprint is
+    * fully cross-engine-verifiable.
     */
   def fingerprint(text: Column): Column = {
     // null text → null, matching fingerprintHof (aggregate over a null array
@@ -86,10 +88,8 @@ object TextAnalysis {
       val n = s.length
       while (i <= n) {
         if (i == n || s.charAt(i) == ' ') {
-          val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
-            org.apache.spark.unsafe.types.UTF8String.fromString(s.substring(start, i)),
-            org.apache.spark.sql.types.StringType, 42L)
-          acc = (acc * 131 + java.lang.Math.floorMod(h, M)) % M
+          val h = graft.util.SqlHash.combined(s.substring(start, i)) % M
+          acc = (acc * 131 + h) % M
           start = i + 1
         }
         i += 1
@@ -100,12 +100,19 @@ object TextAnalysis {
   }
 
   /** Interpreted built-ins formulation — kept as the semantic cross-check
-    * (TextAnalysisSpec asserts bit-parity with [[fingerprint]]).
+    * (TextAnalysisSpec asserts bit-parity with [[fingerprint]]). The nested
+    * aggregate is the SqlHash.combined char fold in Spark SQL built-ins.
     */
   def fingerprintHof(text: Column): Column = {
     val M = 1000000007L
+    val P1 = graft.util.SqlHash.P1
+    val P2 = graft.util.SqlHash.P2
     expr(s"""aggregate(split(${text.toString}, ' '), cast(0 AS bigint),
-            |  (acc, t) -> (acc * 131 + pmod(xxhash64(t), $M)) % $M)""".stripMargin)
+            |  (acc, t) -> (acc * 131 +
+            |    (aggregate(split(t, ''), cast(0 AS bigint),
+            |       (a, c) -> (a * 31 + ascii(c)) % $P1) * 2147483648L
+            |     + aggregate(split(t, ''), cast(0 AS bigint),
+            |         (a, c) -> (a * 37 + ascii(c)) % $P2)) % $M) % $M)""".stripMargin)
   }
 
   def fingerprints(docs: DataFrame, idCol: String = "doc_id",

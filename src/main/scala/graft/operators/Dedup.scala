@@ -45,27 +45,23 @@ object Dedup {
         lit(true)))
       .select(col("canonical_id"), col("n_copies"))
 
-  /** splitmix64 finalizer — the per-token/shingle hash core. */
-  @inline private def mix64(x0: Long): Long = {
-    var x = x0 + 0x9e3779b97f4a7c15L
-    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e9b5L
-    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    x ^ (x >>> 31)
-  }
-  @inline private def hashToken(t: String, seed: Long): Long =
-    mix64(scala.util.hashing.MurmurHash3.stringHash(t, seed.toInt).toLong ^ (seed << 32))
+  import graft.util.SqlHash
 
   /** Per-doc MinHash signature: `numHashes` seeded minima over
     * `shingleSize`-gram shingles. One compiled UDF per row: Spark's
     * higher-order-function lambdas are *interpreted* (no codegen), and the
     * HOF formulation measured ~100× slower (numHashes × shingles interpreted
     * hash evals per row) — per the extend-order policy this is the
-    * UDF-beats-interpreted-expression case.
+    * UDF-beats-interpreted-expression case. Hashes are the SqlHash 61-bit
+    * family, so the m1 DuckDB oracle reproduces the signatures exactly.
     */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 32, shingleSize: Int = 2,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val nh = numHashes
     val ss = shingleSize
+    // per-seed universal-hash coefficients, fixed by the oracle contract
+    val aj = Array.tabulate(nh)(j => SqlHash.mulModM61(2L * j + 1, SqlHash.C2))
+    val bj = Array.tabulate(nh)(j => SqlHash.mulModM61(j + 1L, SqlHash.C3))
     val sigUdf = udf((text: String) => {
       val toks = text.toLowerCase.split(" ")
       val n = math.max(toks.length - ss + 1, 1)
@@ -75,10 +71,10 @@ object Dedup {
         val shingle =
           if (ss <= 1) toks(i)
           else toks.slice(i, math.min(i + ss, toks.length)).mkString(" ")
-        val base = hashToken(shingle, 0L)
+        val base = SqlHash.hashToken(shingle)
         var j = 0
         while (j < nh) {
-          val h = mix64(base ^ (j.toLong * 0x9e3779b97f4a7c15L))
+          val h = SqlHash.modM61(SqlHash.mulModM61(aj(j), base) + bj(j))
           if (h < sig(j)) sig(j) = h
           j += 1
         }
@@ -102,11 +98,21 @@ object Dedup {
     // Catalyst then re-evaluates the (interpreted) lambda tree per side
     val sigs = minhashSignatures(docs, numHashes, shingleSize, idCol, textCol)
       .localCheckpoint()
-    val banded = sigs.select(col(idCol), posexplode(
-      array((0 until bands).map(b =>
-        xxhash64(concat_ws(",",
-          (0 until rowsPerBand).map(r => col("minhash")(b * rowsPerBand + r)): _*))): _*))
-      .as(Seq("band", "band_hash")))
+    // band key: mulModM61-fold of the band's signature values (compiled UDF —
+    // the 122-bit products don't fit Spark's long expressions; DuckDB's twin
+    // computes the identical fold in HUGEINT)
+    val rpb = rowsPerBand
+    val bandUdf = udf((sig: Seq[Long]) => Array.tabulate(bands) { b =>
+      var acc = 0L
+      var r = 0
+      while (r < rpb) {
+        acc = SqlHash.modM61(SqlHash.mulModM61(acc, SqlHash.C2) + sig(b * rpb + r))
+        r += 1
+      }
+      acc
+    })
+    val banded = sigs.select(col(idCol),
+      posexplode(bandUdf(col("minhash"))).as(Seq("band", "band_hash")))
     // candidate pairs: same (band, band_hash); dedup pairs across bands
     val l = banded.select(col("band"), col("band_hash"), col(idCol).as("id_a"))
     val r = banded.select(col("band"), col("band_hash"), col(idCol).as("id_b"))
@@ -126,30 +132,36 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash per doc: sign-aggregated token-hash bits. */
+  /** Number of signature bits in [[simhash]]: the SqlHash token hash is
+    * 61-bit (mod 2^61-1), so bits 61..63 are always 0.
+    */
+  val SimhashBits: Int = 61
+
+  /** 61-bit SimHash per doc: sign-aggregated token-hash bits. */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // compiled UDF for the same reason as minhashSignatures: 64 interpreted
+    // compiled UDF for the same reason as minhashSignatures: 61 interpreted
     // per-bit aggregate lambdas per row are ~100× slower than one tight loop
     val simUdf = udf((text: String) => {
-      val votes = new Array[Int](64)
+      val votes = new Array[Int](SimhashBits)
       text.toLowerCase.split(" ").foreach { t =>
-        val h = hashToken(t, 1L)
+        val h = SqlHash.hashToken(t)
         var k = 0
-        while (k < 64) {
+        while (k < SimhashBits) {
           if (((h >>> k) & 1L) != 0L) votes(k) += 1 else votes(k) -= 1
           k += 1
         }
       }
       var sig = 0L
       var k = 0
-      while (k < 64) { if (votes(k) > 0) sig |= (1L << k); k += 1 }
+      while (k < SimhashBits) { if (votes(k) > 0) sig |= (1L << k); k += 1 }
       sig
     })
     docs.select(col(idCol), simUdf(col(textCol)).as("simhash"))
   }
 
-  /** SimHash near-dup pairs, 4×16-bit band tables: a pair is a candidate when
-    * ANY of the four 16-bit bands of the signature is equal (round 1 used
+  /** SimHash near-dup pairs, 4×16-bit band tables (the top band carries the
+    * signature's 13 live high bits — see [[SimhashBits]]): a pair is a
+    * candidate when ANY of the four bands of the signature is equal (round 1 used
     * only the top-16-bit band, which is blind to every pair whose differing
     * bits land there). Pigeonhole: ≤3 differing bits can corrupt at most 3 of
     * the 4 bands, so recall is exact for hamming ≤ 3 and high for ≤6 (a miss

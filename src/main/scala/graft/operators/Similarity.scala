@@ -53,21 +53,13 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
   }
 
-  /** splitmix64 finalizer — deterministic hyperplane seeds, no RNG state. */
-  @inline private def mix64(x0: Long): Long = {
-    var x = x0 + 0x9e3779b97f4a7c15L
-    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e9b5L
-    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    x ^ (x >>> 31)
-  }
-
   /** Deterministic pseudo-random hyperplane component in [-1, 1) for
-    * (table, plane, dim) — identical on every executor, every run.
+    * (table, plane, dim) — identical on every executor, every run, and a
+    * pure mul-mod map (graft.util.SqlHash) so the n2/n3/m4 DuckDB oracles
+    * regenerate the identical plane matrix in SQL.
     */
-  private def hpComponent(table: Int, plane: Int, dim: Int): Double = {
-    val s = mix64((table.toLong << 40) ^ (plane.toLong << 20) ^ dim.toLong)
-    (((s % 100000L) + 100000L) % 100000L).toDouble / 50000.0 - 1.0
-  }
+  private def hpComponent(table: Int, plane: Int, dim: Int): Double =
+    graft.util.SqlHash.hpComponent(table, plane, dim)
 
   private def bucketOf(planes: Array[Array[Double]], v: Seq[Float]): Long = {
     var bucket = 0L
