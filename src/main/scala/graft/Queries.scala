@@ -53,7 +53,7 @@ object Queries {
           "cast(page_idx AS string)) AS url")
 
   // DuckDB twin of frontierView (CTE prefix shared by crawl-family oracles)
-  private val FRONTIER_CTE =
+  private[graft] val FRONTIER_CTE =
     """WITH frontier AS (
       |  SELECT doc_id, chain, page_idx, n_chars, subject, year, host_id, host,
       |         priority, depth,

@@ -213,6 +213,37 @@ object QueriesCrawlOps {
          |  FROM met)
          |WHERE rnk <= 3""".stripMargin,
 
+    // r5: the enrichment round-trip's OUTCOME ACCOUNTING is deterministic —
+    // the query assigns batch fates by year % 4 (0 → already-current,
+    // 2 → json deleted → skip, 1/3 → stale/missing url → update), and the
+    // batch set is the frontier universe's distinct (subject, year). The
+    // oracle re-derives both in SQL, pinning the scan→classify→enrich
+    // contract (mm1/mm2-style: the arithmetic around the file round-trip,
+    // not the file I/O itself): a batch mis-scanned, mis-classified, or
+    // dropped by enrichMetadataFile flips a count red.
+    "r5_enrich_outcomes" ->
+      s"""${Queries.FRONTIER_CTE}
+         |, batches AS (SELECT DISTINCT subject, year FROM frontier)
+         |SELECT outcome, CAST(count(*) AS BIGINT) AS n FROM (
+         |  SELECT CASE CAST(year % 4 AS INT) WHEN 0 THEN 'current'
+         |              WHEN 2 THEN 'skip' ELSE 'update' END AS outcome
+         |  FROM batches) GROUP BY outcome""".stripMargin,
+
+    // w1: the screenshot workflow's batch tally over the injectable capture
+    // stub (always succeeds, 1 attempt — browser I/O out of scope, SURVEY
+    // §0): every counter is a function of the batch count, re-derived from
+    // the frontier universe. Pins the capture→upload→enrich composition's
+    // accounting: a skipped/failed/retried batch or a lost enrichment makes
+    // a counter diverge.
+    "w1_screenshot_workflow" ->
+      s"""${Queries.FRONTIER_CTE}
+         |, b AS (SELECT CAST(count(*) AS BIGINT) AS nb
+         |        FROM (SELECT DISTINCT subject, year FROM frontier))
+         |SELECT nb AS n_items, nb AS successful, CAST(0 AS BIGINT) AS failed,
+         |  CAST(0 AS BIGINT) AS skipped_items, nb AS capture_attempts,
+         |  nb AS upload_attempts, nb AS enriched_batches
+         |FROM b""".stripMargin,
+
     // c3's output IS the invariant's verdict: n_mismatch counts pages whose
     // html-extracted text differs from the golden `text` column, and pages
     // are one per documents row (PagesGen.pages, factor 1). The oracle pins
