@@ -397,5 +397,5 @@ object Queries {
     QueriesText.queries ++ QueriesCrawlOps.queries
 
   def oracles: Map[String, String] = crawlOracles ++ relationalOracles ++
-    QueriesText.oracles ++ QueriesCrawlOps.oracles
+    QueriesText.oracles ++ QueriesCrawlOps.oracles ++ QueriesGenOracles.oracles
 }
