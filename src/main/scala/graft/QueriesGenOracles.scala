@@ -46,9 +46,9 @@ object QueriesGenOracles {
     * (PagesGen.renderPage; the h%5 duplicate theory is parser-deduped, O2).
     */
   private val pagesCte: String =
-    ", fd AS (SELECT subject, year, url, page_idx, CAST(doc_id AS HUGEINT) AS x0 FROM frontier)\n" +
+    ", fd AS (SELECT doc_id, subject, year, url, page_idx, CAST(doc_id AS HUGEINT) AS x0 FROM frontier)\n" +
       mixCte("fd", "x0", "hu", "ph") + "\n" +
-      s""", pcnt AS (SELECT subject, year, url, page_idx, hu,
+      s""", pcnt AS (SELECT doc_id, subject, year, url, page_idx, hu,
          |    3 + ((CASE WHEN hu >= 9223372036854775808::HUGEINT THEN hu - $M ELSE hu END) % 3) AS nobj,
          |    1 + ((CASE WHEN hu >= 9223372036854775808::HUGEINT THEN hu - $M ELSE hu END) % 2) AS nth
          |  FROM ph6)""".stripMargin
@@ -61,13 +61,13 @@ object QueriesGenOracles {
     */
   private val mcqCte: String =
     pagesCte + "\n" +
-      s""", mq0 AS (SELECT subject, year, url, page_idx, hu, q,
+      s""", mq0 AS (SELECT doc_id, subject, year, url, page_idx, nobj, q,
          |    ((hu + CAST(page_idx * 10 + q AS HUGEINT)) % $M) AS qx0,
          |    CAST(page_idx * 10 + q AS BIGINT) AS num
          |  FROM pcnt, LATERAL (SELECT unnest(generate_series(1, CAST(nobj AS INT))) AS q) s)
          |""".stripMargin +
       mixCte("mq0", "qx0", "vu", "qh") + "\n" +
-      """, mq AS (SELECT subject, year, url, page_idx, q, num,
+      """, mq AS (SELECT doc_id, subject, year, url, page_idx, nobj, q, num, vu,
         |    (vu // 16777216) % 4 = 0 AS has_diag,
         |    (vu // 134217728) % 2 = 0 AS has_photo,
         |    CAST((vu // 268435456) % 6 AS INT) AS solv
@@ -94,7 +94,230 @@ object QueriesGenOracles {
       |    concat('images/objectives/photo', cast(num AS varchar), '.png') AS local_path,
       |    url, q - 1 AS pos FROM mq WHERE has_diag AND has_photo)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  // ---- per-question TEXT reconstruction (c2, r2) ---------------------------
+  //
+  // The remaining two queries emit the parsed question/answer/solution/option
+  // STRINGS. Those are still generator arithmetic: every phrase is words of
+  // the page's own document text indexed by shifted-hash arithmetic, and the
+  // parser's string pipeline (clean_text -> chemical-formula fix -> the
+  // Mark/Solution and option splits -> answer-pattern scan) is expressible
+  // with RE2 regexps (no lookaheads needed for these columns — the
+  // first-non-empty-wins option semantics collapse, on this page universe,
+  // to "A..C = generated options; D picks up the checkmark tail").
+
+  /** words(text)[idx] for phrase word k of phrase(w, h, i, n):
+    * idx = |signedRem((h >>> (k%5)) + i*7 + k*13, wlen)| (PagesGen.phrase).
+    * Expects columns `w` (the page's word list) and `wlen` in scope.
+    */
+  private def pw(h: String, k: Int, i: Int): String = {
+    val shift = 1L << (k % 5)
+    val add = i * 7 + k * 13
+    val u = s"((($h) // $shift + $add) % $M)"
+    s"list_extract(w, 1 + CAST(abs((CASE WHEN $u >= 9223372036854775808::HUGEINT " +
+      s"THEN $u - $M ELSE $u END) % wlen) AS INT))"
+  }
+
+  private def phraseSql(h: String, i: Int, n: Int): String =
+    (0 until n).map(k => pw(h, k, i)).mkString("concat_ws(' ', ", ", ", ")")
+
+  /** clean_text in SQL: unescape (only &lt;/&amp; occur in generated text),
+    * collapse whitespace, strip, then fix_chemical_formulas' three ordered
+    * regex passes + the ordered literal table (Extract.fixChemicalFormulas).
+    */
+  private def cleanSql(e: String): String = {
+    val unesc = s"replace(replace($e, '&lt;', '<'), '&amp;', '&')"
+    val collapsed = s"trim(regexp_replace($unesc, '\\s+', ' ', 'g'))"
+    val c1 = s"regexp_replace($collapsed, '\\b([A-Z][a-z]?)\\s+(\\d+)\\s*([+-])\\s*', '\\1\\2\\3', 'g')"
+    val c2 = s"regexp_replace($c1, '\\b([A-Z][a-z]?)\\s+([+-])\\s*', '\\1\\2', 'g')"
+    val c3 = s"regexp_replace($c2, '\\b([A-Z][a-z]?[A-Z]?[a-z]?)\\s+(\\d*)\\s*([+-])\\s*', '\\1\\2\\3', 'g')"
+    val lits = Seq(
+      "Mg 2+" -> "Mg2+", "Ca 2+" -> "Ca2+", "Na +" -> "Na+", "K +" -> "K+",
+      "OH -" -> "OH-", "CO 3 2-" -> "CO32-", "SO 4 2-" -> "SO42-",
+      "NO 3 -" -> "NO3-", "Cl -" -> "Cl-", "Na +1" -> "Na+1", "Na + " -> "Na+")
+    lits.foldLeft(c3) { case (acc, (a, b)) => s"replace($acc, '$a', '$b')" }
+  }
+
+  /** Per-page word lists (PagesGen.words: split on \s+, drop empties,
+    * ["lorem"] fallback).
+    */
+  private val wordsCte: String =
+    """, wl AS (SELECT doc_id AS wdoc,
+      |    CASE WHEN len(w0) = 0 THEN ['lorem'] ELSE w0 END AS w,
+      |    CASE WHEN len(w0) = 0 THEN 1 ELSE len(w0) END AS wlen
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(text, '\s+'), x -> x != '') AS w0
+      |        FROM documents))""".stripMargin
+
+  /** MCQ rows with parsed question/answer/solution + option strings: build
+    * the question block's joined text exactly as the generator renders it,
+    * then run the parser's own string pipeline over it.
+    */
+  private val mcqRowsCte: String = {
+    val opts = Seq((2, 2), (3, 3), (4, 2), (5, 3)).zipWithIndex.map {
+      case ((i, n), idx) => s"    ${phraseSql("(vu // 256)", i, n)} AS o$idx,"
+    }.mkString("\n")
+    mcqCte + "\n" + wordsCte + "\n" +
+      s""", mqt AS (SELECT mq.*, w, wlen FROM mq JOIN wl ON wl.wdoc = mq.doc_id)
+         |, mqp AS (SELECT doc_id, subject, year, url, nobj, q, num, vu, has_diag, has_photo, solv,
+         |    ${phraseSql("vu", 1, 4)} AS stem_p,
+         |$opts
+         |    ${phraseSql("(vu // 4294967296)", 9, 3)} AS p3,
+         |    ${phraseSql("(vu // 4294967296)", 9, 4)} AS p4,
+         |    ${phraseSql("(vu // 4294967296)", 9, 5)} AS p5,
+         |    substr('ABCD', 1 + CAST((vu // 65536) % 4 AS INT), 1) AS ltr
+         |  FROM mqt)
+         |, mqf AS (SELECT *, concat(
+         |    CAST(num AS VARCHAR), '. Which of the following ', stem_p,
+         |    CASE WHEN subject = 'science' AND vu % 8 = 0 THEN concat(' ',
+         |        CASE CAST((vu // 8) % 5 AS INT)
+         |          WHEN 0 THEN 'the ion Mg 2+ reacts'
+         |          WHEN 1 THEN 'a solution of SO 4 2- forms'
+         |          WHEN 2 THEN 'Na + combines with Cl -'
+         |          WHEN 3 THEN 'carbonate CO 3 2- appears'
+         |          ELSE 'hydroxide OH - is basic' END)
+         |      WHEN vu % 16 = 1 THEN ' measured at 25 °C with 5 &lt; x'
+         |      WHEN vu % 16 = 2 THEN ' from AT&T records' ELSE '' END,
+         |    CASE WHEN CAST((vu // 1048576) % 3 AS INT) = 2
+         |      THEN concat(' A . ', o0, ' B . ', o1, ' C . ', o2, ' D . ', o3)
+         |      ELSE concat(' A. ', o0, ' B. ', o1, ' C. ', o2, ' D. ', o3) END,
+         |    CASE solv
+         |      WHEN 0 THEN concat(' Solution The answer is ', ltr, ' because ', p5)
+         |      WHEN 1 THEN concat(' Solution The correct answer is ', ltr, ' since ', p4)
+         |      WHEN 2 THEN concat(' Solution option ', ltr, ' is right as ', p4)
+         |      WHEN 3 THEN concat(' Solution ', ltr, '. ', p5)
+         |      WHEN 4 THEN concat(' ✓ ', ltr)
+         |      ELSE concat(' Mark ', CAST(1 + num % 3 AS VARCHAR), ' ', p3) END) AS fr
+         |  FROM mqp)
+         |, mqc AS (SELECT *, ${cleanSql("fr")} AS fx FROM mqf)
+         |, mqs AS (SELECT *,
+         |    CASE WHEN regexp_matches(fx, '\\s+(Mark|Solution)\\s+')
+         |         THEN regexp_extract(fx, '^(.*?)\\s+(?:Mark|Solution)\\s+', 1) ELSE fx END AS qp,
+         |    CASE WHEN regexp_matches(fx, '\\s+(Mark|Solution)\\s+')
+         |         THEN regexp_extract(fx, '^.*?\\s+(?:Mark|Solution)\\s+(.*)$$', 1) ELSE '' END AS sp
+         |  FROM mqc)
+         |, mqx AS (SELECT *,
+         |    trim(regexp_replace(CASE WHEN regexp_matches(qs0, '\\s+[A-D]\\.\\s+')
+         |      THEN regexp_extract(qs0, '^(.*?)\\s+[A-D]\\.\\s+', 1) ELSE qs0 END,
+         |      '\\s+', ' ', 'g')) AS question
+         |  FROM (SELECT *, regexp_replace(qp, '^[0-9]+\\.?\\s*', '') AS qs0 FROM mqs))
+         |, mqa AS (SELECT *,
+         |    CASE WHEN sp = '' THEN NULL ELSE upper(coalesce(
+         |      nullif(regexp_extract(trim(sp), '(?i)answer is ([A-D])', 1), ''),
+         |      nullif(regexp_extract(trim(sp), '(?i)correct answer is ([A-D])', 1), ''),
+         |      nullif(regexp_extract(trim(sp), '(?i)option ([A-D])', 1), ''),
+         |      nullif(regexp_extract(trim(sp), '(?i)^([A-D])\\.', 1), ''))) END AS ans0,
+         |    CASE WHEN sp = '' THEN NULL
+         |         ELSE trim(regexp_replace(regexp_replace(trim(sp), '(?i)^solution\\s*', ''),
+         |                   '\\s+', ' ', 'g')) END AS solution
+         |  FROM mqx)
+         |, mcqrows AS (SELECT doc_id, subject, year, url, nobj, q, num, has_diag, has_photo, solv,
+         |    o0, o1, o2, o3, ltr, question,
+         |    CASE WHEN ans0 IS NULL AND solv = 4 THEN ltr ELSE ans0 END AS answer, solution
+         |  FROM mqa)""".stripMargin
+  }
+
+  /** Theory rows: tv = mix(h XOR num*0x517cc1b7); nParts = 2 + (tv>>>8)%2;
+    * part 1 nests (i)/(ii) sub-subparts when (tv>>>12) is even; the
+    * duplicate-number render at h%5==0 is parser-deduped (first wins, O2).
+    */
+  private val theoryRowsCte: String =
+    s""", th0 AS (SELECT doc_id, subject, year, url, nobj, q,
+       |    xor(hu, CAST(q * 1367130551 AS HUGEINT)) AS tx0
+       |  FROM pcnt, LATERAL (SELECT unnest(generate_series(1, CAST(nth AS INT))) AS q) s)
+       |${mixCte("th0", "tx0", "tu", "tg")}
+       |, thw AS (SELECT th.*, w, wlen FROM (
+       |    SELECT doc_id, subject, year, url, nobj, q, tu,
+       |      2 + CAST((tu // 256) % 2 AS INT) AS nparts, (tu // 4096) % 2 = 0 AS nested
+       |    FROM tg6) th JOIN wl ON wl.wdoc = th.doc_id)
+       |, thr AS (SELECT doc_id, subject, year, url, nobj, q, nparts, nested,
+       |    concat('Explain how ', ${phraseSql("tu", 1, 5)}) AS question,
+       |    ${phraseSql("(tu // 65536)", 3, 4)} AS pq1,
+       |    ${phraseSql("(tu // 65536)", 4, 4)} AS pq2,
+       |    ${phraseSql("(tu // 65536)", 5, 4)} AS pq3,
+       |    ${phraseSql("(tu // 16777216)", 7, 4)} AS ps1,
+       |    ${phraseSql("(tu // 16777216)", 8, 4)} AS ps2,
+       |    ${phraseSql("(tu // 16777216)", 9, 4)} AS ps3,
+       |    ${phraseSql("(tu // 65536)", 3, 3)} AS na,
+       |    ${phraseSql("(tu // 1048576)", 4, 3)} AS nb
+       |  FROM thw)""".stripMargin
+
+  private val subpartNames: Seq[String] =
+    (1 to 3).flatMap { j =>
+      Seq(s"subpart_${j}_question", s"subpart_${j}_solution", s"subpart_${j}_answer") ++
+        Seq("a", "b").flatMap(ch => Seq(s"subpart_${j}_${ch}_question",
+          s"subpart_${j}_${ch}_solution", s"subpart_${j}_${ch}_answer"))
+    }
+
+  private def theorySubpartExpr(name: String): String = {
+    val parts = name.split("_") // subpart, j, [ch,] field
+    val j = parts(1).toInt
+    val (nested, field) = if (parts.length == 4) (Some(parts(2)), parts(3)) else (None, parts(2))
+    nested match {
+      case Some(ch) =>
+        if (field == "question")
+          s"CASE WHEN $j = 1 AND nested THEN ${if (ch == "a") "na" else "nb"} ELSE '' END"
+        else "''"
+      case None => field match {
+        case "question" =>
+          s"CASE WHEN $j <= nparts THEN (CASE WHEN $j = 1 AND nested THEN '' " +
+            s"ELSE concat('Describe ', pq$j) END) ELSE '' END"
+        case "solution" =>
+          s"CASE WHEN $j <= nparts THEN concat('The answer involves ', ps$j) ELSE '' END"
+        case _ => "''"
+      }
+    }
+  }
+
+  private val parseOracles: Map[String, String] = Map(
+    // C2: every parsed question row — stem/answer/solution strings included
+    "c2_parse_questions" ->
+      s"""${Queries.FRONTIER_CTE}
+         |$mcqRowsCte
+         |$theoryRowsCte
+         |SELECT url, 'objective' AS section, 'mcq' AS qtype, CAST(num AS INT) AS number,
+         |  question, answer, solution,
+         |  CAST(CASE WHEN has_diag THEN 1 + CASE WHEN has_photo THEN 1 ELSE 0 END
+         |       ELSE 0 END AS INT) AS n_diagrams,
+         |  0 AS n_subparts
+         |FROM mcqrows
+         |UNION ALL
+         |SELECT url, 'theory' AS section, 'theory' AS qtype, CAST(q AS INT) AS number,
+         |  question, CAST(NULL AS VARCHAR) AS answer, CAST(NULL AS VARCHAR) AS solution,
+         |  0 AS n_diagrams, nparts AS n_subparts
+         |FROM thr""".stripMargin,
+
+    // F12/S9: the flattened CSV rows — dynamic option/subpart columns at the
+    // batch universe's fan-out (max 3 parts, 2 nested: both occur at every
+    // driver SF since each page draws them iid at 50%)
+    "r2_flatten_csv" -> {
+      val mcqSub = subpartNames.map(n => s"  CAST(NULL AS VARCHAR) AS $n").mkString(",\n")
+      val thSub = subpartNames.map(n => s"  ${theorySubpartExpr(n)} AS $n").mkString(",\n")
+      s"""${Queries.FRONTIER_CTE}
+         |$mcqRowsCte
+         |$theoryRowsCte
+         |SELECT subject, year, url, CAST(q - 1 AS INT) AS pos,
+         |  coalesce(answer, '') AS answer,
+         |  CASE WHEN has_diag THEN concat('https://kuulchat.com/qns/fig%20',
+         |      CAST(num AS VARCHAR), '%20diagram.png',
+         |      CASE WHEN has_photo THEN concat('|/media/photo', CAST(num AS VARCHAR), '.png')
+         |           ELSE '' END) ELSE '' END AS diagrams,
+         |  CAST(num AS INT) AS number, question, coalesce(solution, '') AS solution,
+         |  'objectives' AS type,
+         |  o0 AS option_A, o1 AS option_B, o2 AS option_C,
+         |  CASE WHEN solv = 4 THEN concat(o3, ' ✓ ', ltr) ELSE o3 END AS option_D,
+         |$mcqSub
+         |FROM mcqrows
+         |UNION ALL
+         |SELECT subject, year, url, CAST(nobj + q - 1 AS INT) AS pos,
+         |  '' AS answer, '' AS diagrams, CAST(q AS INT) AS number, question, '' AS solution,
+         |  'theory' AS type,
+         |  CAST(NULL AS VARCHAR) AS option_A, CAST(NULL AS VARCHAR) AS option_B,
+         |  CAST(NULL AS VARCHAR) AS option_C, CAST(NULL AS VARCHAR) AS option_D,
+         |$thSub
+         |FROM thr""".stripMargin
+    })
+
+  val oracles: Map[String, String] = parseOracles ++ Map(
     // A1/S8: per-batch objective/theory totals + the minted screenshot url
     // (pinned-clock cache buster, Restructure.PinnedMillis)
     "r1_restructured_docs" ->
