@@ -148,7 +148,12 @@ object CrawlEngine {
       // the time pruning starts); below it every dir is read and the
       // frontier behaves exactly like a full-rewrite table — the right
       // trade at bench scale where planning jobs cost more than the read.
-      frontierPruneBytes: Long = 256L << 20)
+      frontierPruneBytes: Long = 256L << 20,
+      // bloom-sidecar bytes above which the duplicate-vs-unread-dir probe
+      // switches from collect+broadcast to the bucket-aligned cogroup
+      // (Frontier.dupHitDirs): at 10^10 the cold tail's blooms are ~12 GB —
+      // never driver-collected. Identical results either way (FrontierSpec).
+      frontierDupBroadcastBytes: Long = Frontier.DupProbeBroadcastBytes)
 
   final case class Result(waves: Int, fetched: Long, deduped: Long,
                           errors: Long, seenCount: Long, seenDigest: Long)
@@ -563,7 +568,8 @@ object CrawlEngine {
             if (fplan.skippedDirs.isEmpty) Nil
             else Frontier.dupHitDirs(spark,
               discovered.select(col("host"), col("url_hash")),
-              fplan.skippedDirs, fbloomsT, cfg.frontierShards)
+              fplan.skippedDirs, fbloomsT, cfg.frontierShards,
+              cfg.frontierDupBroadcastBytes)
           val survived0 = waveLog.filter(col("disp") === "deferred")
             .select(frontierCols.map(col): _*)
           val survived = if (hitDirs.isEmpty) survived0

@@ -218,47 +218,102 @@ object Frontier {
       .toDF("fwave", "fshard", "blob")
   }
 
+  /** Blob-table bytes above which [[dupHitDirs]] probes DISTRIBUTED
+    * (bucket-aligned cogroup) instead of collect+broadcast. At the 10^10
+    * north-rule scale the cold tail's blooms are ~1.2 B/url ≈ 12 GB — an
+    * all-blobs driver collect would be O(frontier) driver memory, the
+    * disease this round removed from the frontier data path. Below the
+    * gate (bench scale: a few MB) the broadcast path costs one tiny job
+    * and zero shuffles, so it stays the fast path.
+    */
+  val DupProbeBroadcastBytes: Long = 64L << 20
+
   /** Dirs among `unreadCold` whose bloom hits any discovered url — those
     * may hold a row the discovery duplicates, so the commit must read them
     * and fold their rows through the min-tuple dedup. A url collides only
     * within its own host bucket, so each discovery probes just its bucket's
     * dirs. Missing blobs (version skew) count as hits — reading is always
     * sound.
+    *
+    * Two physical plans, same result (FrontierSpec asserts equality):
+    * below `broadcastBytes` of blob state, collect+broadcast the filters
+    * and probe map-side; above it, cogroup blobs with discoveries on the
+    * host bucket so each task deserializes only its bucket's filters
+    * (per-task memory = cold-bloom-bytes / hostBuckets, bounded by the
+    * same shard-count sizing rule as the frontier dirs) and no blob byte
+    * ever reaches the driver.
     */
   def dupHitDirs(spark: SparkSession, discovered: DataFrame,
                  unreadCold: Seq[String], bloomsT: SnapshotTable,
-                 hostBuckets: Int): Seq[String] = {
+                 hostBuckets: Int,
+                 broadcastBytes: Long = DupProbeBroadcastBytes): Seq[String] = {
     if (unreadCold.isEmpty) return Nil
     val keyOf: Map[Long, String] = unreadCold.map(p =>
       dirKey(SnapshotTable.waveOf(p).get, SnapshotTable.shardIdOf(p).get) -> p).toMap
     import spark.implicits._
-    val blobs: Map[Long, Array[Byte]] =
-      if (bloomsT.isEmpty) Map.empty
-      else bloomsT.read()
-        .withColumn("k", (col("fwave").cast("long") * (1L << 20)) + col("fshard"))
-        .join(broadcast(keyOf.keys.toSeq.toDF("k")), Seq("k"))
-        .select(col("k"), col("blob"))
+    if (bloomsT.isEmpty) return keyOf.values.toSeq // no blobs: all conservative hits
+    val restricted = bloomsT.read()
+      .withColumn("k", (col("fwave").cast("long") * (1L << 20)) + col("fshard"))
+      .join(broadcast(keyOf.keys.toSeq.toDF("k")), Seq("k"))
+    if (bloomsT.latestVersion.map(bloomsT.versionBytes).getOrElse(0L) < broadcastBytes) {
+      // small state: collect + broadcast, probe map-side (no shuffle)
+      val blobs: Map[Long, Array[Byte]] = restricted.select(col("k"), col("blob"))
         .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
-    val missing = keyOf.keys.filterNot(blobs.contains).map(keyOf).toSeq
-    if (blobs.isEmpty) return missing
-    // bucket → (dirKey, filter); probe with a broadcast map like bloomSplit
-    val byBucket: Map[Int, Seq[(Long, org.apache.spark.util.sketch.BloomFilter)]] =
-      blobs.toSeq.map { case (k, b) =>
-        ((k & ((1L << 20) - 1)).toInt % hostBuckets,
-          (k, org.apache.spark.util.sketch.BloomFilter.readFrom(
-            new java.io.ByteArrayInputStream(b))))
-      }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    val bc = spark.sparkContext.broadcast(byBucket)
-    val hitsUdf = udf((bucket: Int, h: Long) =>
-      bc.value.getOrElse(bucket, Nil).collect {
-        case (k, f) if f.mightContainLong(h) => k
-      })
-    val hitKeys = discovered
-      .select(pmod(xxhash64(col("host")), lit(hostBuckets)).cast("int").as("b"),
-        col("url_hash"))
-      .select(explode(hitsUdf(col("b"), col("url_hash"))).as("k"))
-      .distinct().collect().map(_.getLong(0))
-    (missing ++ hitKeys.map(keyOf)).distinct
+      val missing = keyOf.keys.filterNot(blobs.contains).map(keyOf).toSeq
+      if (blobs.isEmpty) return missing
+      // bucket → (dirKey, filter); probe with a broadcast map like bloomSplit
+      val byBucket: Map[Int, Seq[(Long, org.apache.spark.util.sketch.BloomFilter)]] =
+        blobs.toSeq.map { case (k, b) =>
+          ((k & ((1L << 20) - 1)).toInt % hostBuckets,
+            (k, org.apache.spark.util.sketch.BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(b))))
+        }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val bc = spark.sparkContext.broadcast(byBucket)
+      val hitsUdf = udf((bucket: Int, h: Long) =>
+        bc.value.getOrElse(bucket, Nil).collect {
+          case (k, f) if f.mightContainLong(h) => k
+        })
+      (missing ++ discovered
+        .select(pmod(xxhash64(col("host")), lit(hostBuckets)).cast("int").as("b"),
+          col("url_hash"))
+        .select(explode(hitsUdf(col("b"), col("url_hash"))).as("k"))
+        .distinct().collect().map(r => keyOf(r.getLong(0)))).distinct
+    } else {
+      // big state: bucket-aligned cogroup — only the (tiny) hit-key set is
+      // ever collected. Presence probe first (parquet column-prunes to `k`,
+      // no blob bytes read) so missing blobs stay conservative hits.
+      val present = restricted.select(col("k")).as[Long].collect().toSet
+      val missing = keyOf.keys.filterNot(present.contains).map(keyOf).toSeq
+      val blobsByBucket = restricted
+        .select(col("k"), col("blob"),
+          (col("fshard") % hostBuckets).cast("int").as("b"))
+        .as[(Long, Array[Byte], Int)].groupByKey(_._3)
+      val discByBucket = discovered
+        .select(pmod(xxhash64(col("host")), lit(hostBuckets)).cast("int").as("b"),
+          col("url_hash")).as[(Int, Long)].groupByKey(_._1)
+      val hits = blobsByBucket.cogroup(discByBucket) { (_, bs, ds) =>
+        val filters = bs.map(t => (t._1,
+          org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(t._2)))).toArray
+        if (filters.isEmpty) Iterator.empty
+        else {
+          val hit = new Array[Boolean](filters.length)
+          var remaining = filters.length
+          while (remaining > 0 && ds.hasNext) {
+            val h = ds.next()._2
+            var i = 0
+            while (i < filters.length) {
+              if (!hit(i) && filters(i)._2.mightContainLong(h)) {
+                hit(i) = true; remaining -= 1
+              }
+              i += 1
+            }
+          }
+          filters.iterator.zipWithIndex.collect { case ((k, _), i) if hit(i) => k }
+        }
+      }.distinct().collect()
+      (missing ++ hits.map(keyOf)).distinct
+    }
   }
 
   /** Sidecar retention: stats/bloom tables are append-per-wave; fold them

@@ -152,19 +152,63 @@ class FrontierSpec extends AnyFunSuite {
     val dir = ft.versionDirs(ft.latestVersion.get).head
     bloomsT.commit(Frontier.bloomsFor(spark,
       rows.withColumn("fshard", col("fshard")), 1), 1)
-    def probe(u: String, h: String) = Frontier.dupHitDirs(spark,
+    // gate=default forces collect+broadcast; gate=0 forces the distributed
+    // bucket-aligned cogroup (the 10^10 path — blooms never reach the
+    // driver). Both plans must return the identical hit set on every case.
+    def probe(u: String, h: String, gate: Long) = Frontier.dupHitDirs(spark,
       Seq((h, u)).toDF("host", "u")
         .select(col("host"), xxhash64(col("u")).as("url_hash")),
-      Seq(dir), bloomsT, F)
-    assert(probe(url, host) == Seq(dir), "the rediscovered url must hit its dir")
-    assert(probe(s"https://$host/bece/questions/other-page", host).isEmpty,
-      "an unrelated url of the same host must not hit (1% fpp notwithstanding)")
-    // a dir with NO bloom blob is a conservative hit (reading is sound)
+      Seq(dir), bloomsT, F, broadcastBytes = gate)
+    for (gate <- Seq(Frontier.DupProbeBroadcastBytes, 0L)) {
+      assert(probe(url, host, gate) == Seq(dir),
+        s"the rediscovered url must hit its dir (gate=$gate)")
+      assert(probe(s"https://$host/bece/questions/other-page", host, gate).isEmpty,
+        s"an unrelated url of the same host must not hit (gate=$gate)")
+    }
+    // a dir with NO bloom blob is a conservative hit (reading is sound):
+    // both with an EMPTY bloom table and with a non-empty table that holds
+    // no row for this dir (the distributed path's presence probe)
     val naked = new SnapshotTable(spark, freshStore("fdup2"), "frontier_blooms")
-    assert(Frontier.dupHitDirs(spark,
-      Seq((host, url)).toDF("host", "u")
-        .select(col("host"), xxhash64(col("u")).as("url_hash")),
-      Seq(dir), naked, F) == Seq(dir))
+    val otherBlooms = new SnapshotTable(spark, freshStore("fdup3"), "frontier_blooms")
+    otherBlooms.commit(Frontier.bloomsFor(spark,
+      rows.withColumn("fshard", lit(shard + 1)), 9), 9) // different (wave, shard)
+    for (gate <- Seq(Frontier.DupProbeBroadcastBytes, 0L);
+         t <- Seq(naked, otherBlooms)) {
+      assert(Frontier.dupHitDirs(spark,
+        Seq((host, url)).toDF("host", "u")
+          .select(col("host"), xxhash64(col("u")).as("url_hash")),
+        Seq(dir), t, F, broadcastBytes = gate) == Seq(dir),
+        s"missing blob must be a conservative hit (gate=$gate)")
+    }
+  }
+
+  test("forced-distributed dup probe: a pruned crawl with the cogroup path " +
+       "on EVERY wave (broadcast gate 0) is byte-identical to the broadcast " +
+       "path") {
+    // same deep-frontier config as the pruned-crawl test: 7 of its 10 waves
+    // skip dirs, so the dup probe plans (and the distributed variant
+    // cogroups) every one of those waves — hit semantics themselves are
+    // unit-tested above (this fixture's links are in-degree-1, so no
+    // discovery ever collides with a deferred cold row: dup_hit_dirs = 0
+    // in both runs, asserted so the fixture can't silently degrade)
+    val cfg = CrawlEngine.Config(waveDurationMs = 1000L, maxWaves = 10,
+      strategy = SeenSet.BloomShardExact, frontierPruneBytes = 0L)
+    val sBc = freshStore("fdupbc")
+    val rBc = CrawlEngine.run(spark, sf, sBc, cfg)
+    val sDist = freshStore("fdupdist")
+    val rDist = CrawlEngine.run(spark, sf, sDist,
+      cfg.copy(frontierDupBroadcastBytes = 0L))
+    assert(rDist == rBc, s"distributed dup probe diverged: $rDist vs $rBc")
+    assert(CrawlEngine.traceDigest(spark, sDist) ==
+      CrawlEngine.traceDigest(spark, sBc), "fetch order must be identical")
+    def meta(s: String, k: String): Seq[Int] = {
+      val ft = new SnapshotTable(spark, s, "frontier")
+      (0 to ft.latestVersion.get).map(v =>
+        ft.metaAt(v).getOrElse(k, "0").toInt)
+    }
+    assert(meta(sDist, "skipped_dirs").sum > 0, "pruning must engage")
+    assert(meta(sDist, "dup_hit_dirs") == meta(sBc, "dup_hit_dirs"),
+      "per-wave dup-hit counts must match across probe plans")
   }
 
   test("ts-sliced cold dirs (the active-band residual): digests, results " +
