@@ -84,9 +84,28 @@ object Frontier {
     * UTF8 binary min/max for the ASCII urls the engine generates (noted:
     * supplementary-plane characters would order differently).
     */
-  private final case class K(pri: Int, depth: Int, ts: Long, url: String)
-  private implicit val kOrd: Ordering[K] =
+  private[graft] final case class K(pri: Int, depth: Int, ts: Long, url: String)
+  private[graft] implicit val kOrd: Ordering[K] =
     Ordering.by((k: K) => (k.pri, k.depth, k.ts, k.url))
+
+  /** The per-host skip rule, pure (property-tested in FrontierSpec): dir i
+    * (given its host-local stats (minK, maxK, n)) stays NEEDED until
+    * budget+1 strictly-better vetted rows exist in strictly-better dirs —
+    * rows counted only from dirs whose maxK sorts strictly below this dir's
+    * minK, so every counted row outranks every row of dir i. budget+1 (not
+    * budget) because the politeness rank is over a total order with this
+    * key: budget rows strictly better still leaves rank budget+1 reachable,
+    * and the engine's fast-path/rank equality needs rank ≤ budget+1 rows
+    * readable. A disallowed host never skips (its rows must surface as
+    * 'blocked' dispositions).
+    */
+  private[graft] def neededForHost(dirs: IndexedSeq[(K, K, Long)],
+                                   budget: Long,
+                                   allowed: Boolean): IndexedSeq[Boolean] =
+    dirs.map { case (mn, _, _) =>
+      !allowed || dirs.iterator.filter(o => kOrd.lt(o._2, mn)).map(_._3).sum <
+        budget + 1L
+    }
 
   private final case class StatRow(fwave: Int, fshard: Int, host: String,
                                    n: Long, minK: K, maxK: K)
@@ -100,6 +119,15 @@ object Frontier {
     * (path, bytes); pruning engages only when total bytes ≥ pruneBytes AND
     * stats exist — fresh dirs, stat-less dirs, and (for safety)
     * robots-disallowed hosts' dirs are always read.
+    *
+    * Planning-scan cost, named: the stats table is read distributed each
+    * planned wave. Its size is one row per (live dir, host) — a host's
+    * deferred mass typically concentrates in a handful of band/slice dirs
+    * of its bucket, so live stats ≈ a few rows × hosts (~1% of frontier
+    * bytes at 10^10); the worst case (every host spread over every
+    * band × slice) is bands × slices rows per host, still ≪ one row per
+    * frontier URL. Only the per-dir verdicts (≤ live dirs, compaction-
+    * bounded) are ever collected.
     */
   def plan(spark: SparkSession, liveDirs: Seq[(String, Option[Long])],
            statsT: SnapshotTable, robots: DataFrame, waveDurationMs: Long,
@@ -141,15 +169,11 @@ object Frontier {
         val ds = it.toArray
         val allowed = ds.head._3
         val budget = ds.head._4
-        ds.iterator.map { d =>
-          val minK = K(d._6, d._7, d._8.getTime, d._9)
-          val better =
-            if (!allowed) 0L // never skip a disallowed host's rows
-            else ds.iterator.filter(o =>
-              kOrd.lt(K(o._10, o._11, o._12.getTime, o._13), minK))
-              .map(_._5).sum
-          (d._1, !allowed || better < budget + 1L, d._5)
-        }
+        val triples: IndexedSeq[(K, K, Long)] = ds.toIndexedSeq.map(d =>
+          (K(d._6, d._7, d._8.getTime, d._9),
+            K(d._10, d._11, d._12.getTime, d._13), d._5))
+        val needed = neededForHost(triples, budget, allowed)
+        ds.iterator.zipWithIndex.map { case (d, i) => (d._1, needed(i), d._5) }
       }
       .groupByKey(_._1)
       .mapGroups { (k, it) =>

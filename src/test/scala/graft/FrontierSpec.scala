@@ -182,6 +182,52 @@ class FrontierSpec extends AnyFunSuite {
     }
   }
 
+  test("property: the skip rule never hides a row that can rank within " +
+       "budget+1 (randomized dir layouts, exact-tie and boundary cases)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import graft.operators.Frontier.{K, kOrd}
+    // rows over a TINY key alphabet so min/max equalities, cross-dir ties
+    // and the strictly-below boundary are hit constantly; urls unique (the
+    // frontier is duplicate-free, and url is the rank's final tiebreaker)
+    val genRows: Gen[(Long, List[(Int, K)])] = for {
+      budget <- Gen.choose(1L, 4L)
+      nDirs <- Gen.choose(1, 7)
+      nRows <- Gen.choose(1, 24)
+      dirIdx <- Gen.listOfN(nRows, Gen.choose(0, nDirs - 1))
+      pris <- Gen.listOfN(nRows, Gen.choose(0, 2))
+      depths <- Gen.listOfN(nRows, Gen.choose(0, 2))
+      tss <- Gen.listOfN(nRows, Gen.choose(0L, 2L))
+      salts <- Gen.listOfN(nRows, Gen.choose(0, 9))
+    } yield (budget, List.tabulate(nRows)(i =>
+      (dirIdx(i), K(pris(i), depths(i), tss(i), f"u${salts(i)}%d-$i"))))
+    var sawSkip = 0
+    val prop = Prop.forAll(genRows) { case (budget, rows) =>
+      val byDir = rows.groupBy(_._1).toIndexedSeq.sortBy(_._1)
+      val stats = byDir.map { case (_, rs) =>
+        val ks = rs.map(_._2)
+        (ks.min(kOrd), ks.max(kOrd), rs.size.toLong)
+      }
+      val needed = graft.operators.Frontier.neededForHost(stats, budget,
+        allowed = true)
+      if (needed.exists(!_)) sawSkip += 1
+      val neededDir = byDir.map(_._1).zip(needed).toMap
+      // every row ranked <= budget+1 over the FULL row set must live in a
+      // needed dir (the engine's fetch set and first-deferred rank both
+      // depend only on rows the pruned wave reads)
+      val sound = rows.sortBy(_._2)(kOrd).take(budget.toInt + 1)
+        .forall(r => neededDir(r._1))
+      // a disallowed host must never skip anything
+      val blockedAllRead = graft.operators.Frontier.neededForHost(stats,
+        budget, allowed = false).forall(identity)
+      sound && blockedAllRead
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(2000), prop)
+    assert(res.passed, res.status.toString)
+    assert(sawSkip > 100,
+      s"generator must exercise actual skips, saw only $sawSkip/2000")
+  }
+
   test("forced-distributed dup probe: a pruned crawl with the cogroup path " +
        "on EVERY wave (broadcast gate 0) is byte-identical to the broadcast " +
        "path") {
