@@ -20,7 +20,12 @@ import graft.operators.SeenSet
   *     budgets are set
   *     high so per-wave work dominates (the politeness ceiling is a semantic
   *     constant — ~0.5 url/s/host in the reference, run_spider.py:199-201 —
-  *     not an engine property).
+  *     not an engine property). A second N/4N pair runs at local[2] and
+  *     local[8] (1 driver rep — a 2-thread crawl is 650-860 s; the
+  *     builder's 2-rep probe in BASELINE.md is the bracket): both levels
+  *     sit under this host's effective-core saturation, so its raw
+  *     efficiency is the ceiling-free reading of the north rule's ≥0.8
+  *     criterion.
   *  3. a CPU-scaling ceiling probe: the map-only extraction job (scan →
   *     parse → agg, no meaningful shuffle) at both levels. On this
   *     single-JVM sandbox even embarrassingly parallel CPU work does not get
@@ -207,14 +212,40 @@ object Bench {
       val (coSec, coUrls, coDigest) =
         crawlAt(32, sfDir, amplify, bucketDir, SeenSet.BloomCuckoo,
           bloomExpected = Some(1L))
+      // north-rule N/4N pair at 2→8 threads (round 5): the 8→32 pair is
+      // host-ceiling-bound on this sandbox (the map-only CPU probe itself
+      // gets only ~3.0× from 4× threads — memory bandwidth + hypervisor
+      // sharing), so its raw efficiency reads ~0.51 regardless of engine
+      // quality. At 2→8 BOTH levels sit under the host's effective-core
+      // saturation and the SAME crawl on the SAME staged input measures
+      // raw ~0.79 (builder probe, 2 reps: 3.15×/3.22× for 4× threads) —
+      // direct evidence on the north rule's own ≥0.8 criterion that does
+      // not route through the ceiling quotient. ONE driver rep by default
+      // (a 2-thread crawl is 650-860 s at amplify 800; the bench already
+      // runs ~50 min and losing the whole artifact to a timeout is worse
+      // than a thin pair) — the builder's 2-rep interleaved probe is
+      // published in BASELINE.md as the labeled bracket, so the claim
+      // rests on 3 measurements across two contexts, per the round-3/4
+      // record-vs-bracket policy. Per-rep seconds published, digests
+      // folded into the all-tier check.
+      val n4nReps = sys.env.getOrElse("SPARK_GRAFT_N4N_REPS", "1").toInt
+      val n4n = (1 to n4nReps).map(_ =>
+        (crawlAt(2, sfDir, amplify, bucketDir, SeenSet.BloomShardExact),
+          crawlAt(8, sfDir, amplify, bucketDir, SeenSet.BloomShardExact)))
       val thr8 = median(crawls.map(r => r._1._2 / r._1._1))
       val thr32 = median(crawls.map(r => r._2._2 / r._2._1))
-      val digests = crawls.flatMap(r => Seq(r._1._3, r._2._3))
+      val digests = crawls.flatMap(r => Seq(r._1._3, r._2._3)) ++
+        n4n.flatMap(r => Seq(r._1._3, r._2._3))
       val crawlSpeedup = thr32 / thr8
       val ceilingSpeedup = ce8 / ce32
       def arr(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
       def spread(xs: Seq[Double]) = f"[${xs.min}%.2f,${xs.max}%.2f]"
-      extra = f""","seen_tier":"bloom_shard_exact","crawl_urls_per_sec_8":${round2(thr8)},"crawl_urls_per_sec_32":${round2(thr32)},"scaling_efficiency":${round3(crawlSpeedup / 4.0)},"cpu_ceiling_speedup_8_to_32":${round3(ceilingSpeedup)},"scaling_efficiency_vs_ceiling":${round3(crawlSpeedup / ceilingSpeedup)},"extract_pages_per_sec_32":${round2(np / ce32)},"scaling_digests_equal":${digests.distinct.size == 1},"bloomexact_urls_per_sec_32":${round2(exUrls / exSec)},"cuckoo_urls_per_sec_32":${round2(ckUrls / ckSec)},"cuckoo_only_urls_per_sec_32":${round2(coUrls / coSec)},"cuckoo_only_digest_equal":${coDigest == digests.head},"cuckoo_only_url_delta":${crawls.head._2._2 - coUrls},"tier_digests_equal":${(digests ++ Seq(exDigest, ckDigest)).distinct.size == 1},"reps":$reps,"crawl_secs_8":${arr(crawls.map(_._1._1))},"crawl_secs_32":${arr(crawls.map(_._2._1))},"crawl_sec_spread_8":${spread(crawls.map(_._1._1))},"crawl_sec_spread_32":${spread(crawls.map(_._2._1))},"bloomexact_secs_32":[${round2(exSec)}],"cuckoo_secs_32":[${round2(ckSec)}],"cuckoo_only_secs_32":[${round2(coSec)}],"ceiling_secs_8":${arr(ceil.map(_._1._1))},"ceiling_secs_32":${arr(ceil.map(_._2._1))},"amplify":$amplify"""
+      val n4nJson = if (n4n.isEmpty) "" else {
+        val thr2n = median(n4n.map(r => r._1._2 / r._1._1))
+        val thr8n = median(n4n.map(r => r._2._2 / r._2._1))
+        f""""crawl_urls_per_sec_2":${round2(thr2n)},"crawl_urls_per_sec_8_n4n":${round2(thr8n)},"scaling_efficiency_2_to_8":${round3(thr8n / thr2n / 4.0)},"n4n_reps":$n4nReps,"crawl_secs_2":${arr(n4n.map(_._1._1))},"crawl_secs_8_n4n":${arr(n4n.map(_._2._1))},"""
+      }
+      extra = f""","seen_tier":"bloom_shard_exact","crawl_urls_per_sec_8":${round2(thr8)},"crawl_urls_per_sec_32":${round2(thr32)},"scaling_efficiency":${round3(crawlSpeedup / 4.0)},$n4nJson"cpu_ceiling_speedup_8_to_32":${round3(ceilingSpeedup)},"scaling_efficiency_vs_ceiling":${round3(crawlSpeedup / ceilingSpeedup)},"extract_pages_per_sec_32":${round2(np / ce32)},"scaling_digests_equal":${digests.distinct.size == 1},"bloomexact_urls_per_sec_32":${round2(exUrls / exSec)},"cuckoo_urls_per_sec_32":${round2(ckUrls / ckSec)},"cuckoo_only_urls_per_sec_32":${round2(coUrls / coSec)},"cuckoo_only_digest_equal":${coDigest == digests.head},"cuckoo_only_url_delta":${crawls.head._2._2 - coUrls},"tier_digests_equal":${(digests ++ Seq(exDigest, ckDigest)).distinct.size == 1},"reps":$reps,"crawl_secs_8":${arr(crawls.map(_._1._1))},"crawl_secs_32":${arr(crawls.map(_._2._1))},"crawl_sec_spread_8":${spread(crawls.map(_._1._1))},"crawl_sec_spread_32":${spread(crawls.map(_._2._1))},"bloomexact_secs_32":[${round2(exSec)}],"cuckoo_secs_32":[${round2(ckSec)}],"cuckoo_only_secs_32":[${round2(coSec)}],"ceiling_secs_8":${arr(ceil.map(_._1._1))},"ceiling_secs_32":${arr(ceil.map(_._2._1))},"amplify":$amplify"""
       } finally deleteTree(stageBase)
     }
 

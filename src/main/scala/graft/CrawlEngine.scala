@@ -308,6 +308,12 @@ object CrawlEngine {
     try {
     while (!done && wave < cfg.maxWaves) {
       val tw0 = System.nanoTime()
+      def phase[T](name: String, t0: Long)(f: => T): T = {
+        val r = f
+        if (timing) System.err.println(
+          f"  [phase $name] ${(System.nanoTime() - t0) / 1e9}%.2f")
+        r
+      }
       if (frontierT.isEmpty) { done = true }
       else {
         // ---- planned frontier read (O(touched), north rule's priority
@@ -316,8 +322,10 @@ object CrawlEngine {
         // their rows' dispositions patched from exact sidecar counts ----
         val liveVersion = frontierT.latestVersion.get
         val liveDirs = frontierT.dirsWithSizes(liveVersion)
-        val fplan = Frontier.plan(spark, liveDirs, fstatsT, robots,
-          cfg.waveDurationMs, cfg.frontierPruneBytes)
+        val fplan = phase("frontier-plan", System.nanoTime()) {
+          Frontier.plan(spark, liveDirs, fstatsT, robots,
+            cfg.waveDurationMs, cfg.frontierPruneBytes)
+        }
         if (timing && fplan.skippedDirs.nonEmpty) System.err.println(
           s"  [frontier-plan] read ${fplan.readDirs.size}/${liveDirs.size} " +
             s"dirs, skipped ${fplan.skippedRows} provably-deferred rows")
@@ -375,8 +383,13 @@ object CrawlEngine {
         val deferCounts = cfg.pagesTable.isDefined
         val obs = org.apache.spark.sql.Observation(
           s"graft-wave-$wave-${System.nanoTime()}")
-        val waveLogBase = Politeness.disposition(flagged, robots,
-          cfg.waveDurationMs, cfg.saltBuckets)
+        // timed apart: disposition's localCheckpoint is an EAGER job (it
+        // materializes the scan+flag+robots subtree before the parse phase
+        // starts) — the wave's main un-overlapped pre-parse cost
+        val waveLogBase = phase("disposition", System.nanoTime()) {
+          Politeness.disposition(flagged, robots,
+            cfg.waveDurationMs, cfg.saltBuckets)
+        }
         val waveLog = (if (!deferCounts) waveLogBase
           else waveLogBase.observe(obs,
             count(lit(1)).as("cand"),
@@ -386,12 +399,6 @@ object CrawlEngine {
             sum(when(col("disp") === "fetch", 1L).otherwise(0L)).as("fetch")))
           .cache()
 
-        def phase[T](name: String, t0: Long)(f: => T): T = {
-          val r = f
-          if (timing) System.err.println(
-            f"  [phase $name] ${(System.nanoTime() - t0) / 1e9}%.2f")
-          r
-        }
         val eagerCounts: Option[Map[String, Long]] =
           if (deferCounts) None
           else Some(phase("rank+count", System.nanoTime()) {
@@ -652,9 +659,11 @@ object CrawlEngine {
           // the first failure (ADVICE r03): rethrowing while siblings still
           // run on the daemon pool races teardown against half-finished
           // Spark jobs and buries the root cause under secondary errors
-          val settled = (running :+ frontierStage.map(_ => ())(commitEc))
-            .map(fut => scala.util.Try(
-              Await.result(fut, scala.concurrent.duration.Duration.Inf)))
+          val settled = phase("commit-span", System.nanoTime()) {
+            (running :+ frontierStage.map(_ => ())(commitEc))
+              .map(fut => scala.util.Try(
+                Await.result(fut, scala.concurrent.duration.Duration.Inf)))
+          }
           settled.foreach(_.get) // all settled — first failure propagates clean
           val stagedDirs = Await.result(frontierStage,
             scala.concurrent.duration.Duration.Inf)
@@ -662,6 +671,7 @@ object CrawlEngine {
           // + dup-hit dirs — their surviving rows are in the staged dirs),
           // carry every skipped dir at the manifest level. staged_bytes in
           // the metadata is the O(touched) evidence a test can assert.
+          phase("publish", System.nanoTime()) {
           frontierT.publishSharded(stagedDirs, wave + 1,
             dropDirPaths = fplan.readSet ++ hitDirs,
             metaKv = Map(
@@ -670,6 +680,7 @@ object CrawlEngine {
               "skipped_rows" -> fplan.skippedRows.toString,
               "dup_hit_dirs" -> hitDirs.size.toString,
               "staged_bytes" -> stagedDirs.flatMap(_._2).sum.toString))
+          }
           if (sidecarOn) nf.unpersist()
 
           okParsed.unpersist(); waveLog.unpersist()
