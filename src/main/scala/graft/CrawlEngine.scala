@@ -153,7 +153,18 @@ object CrawlEngine {
       // switches from collect+broadcast to the bucket-aligned cogroup
       // (Frontier.dupHitDirs): at 10^10 the cold tail's blooms are ~12 GB —
       // never driver-collected. Identical results either way (FrontierSpec).
-      frontierDupBroadcastBytes: Long = Frontier.DupProbeBroadcastBytes)
+      frontierDupBroadcastBytes: Long = Frontier.DupProbeBroadcastBytes,
+      // in-memory columnar compression for the engine's wave caches
+      // (okParsed / waveLog / staged frontier). Spark's session default is
+      // ON; the crawl is CPU-bound and its cache is wave-scoped (bounded by
+      // the politeness budget, not the corpus), so paying dictionary/RLE
+      // encode+decode per wave buys memory the wave doesn't need — measured
+      // 9-17% whole-crawl cost at bench scale (4M pages @32, 2 interleaved
+      // reps: compressed 146.0/127.1 s vs raw 121.1/118.5 s, digests
+      // identical). OFF by default; opt in on memory-tight executors where
+      // a wave's parsed structs would otherwise spill. Scoped to run() —
+      // the session's prior setting is restored on exit.
+      cacheCompressed: Boolean = false)
 
   final case class Result(waves: Int, fetched: Long, deduped: Long,
                           errors: Long, seenCount: Long, seenDigest: Long)
@@ -305,6 +316,12 @@ object CrawlEngine {
     val commitPool = java.util.concurrent.Executors.newFixedThreadPool(5,
       (r: Runnable) => { val t = new Thread(r, "graft-commit"); t.setDaemon(true); t })
     val commitEc = scala.concurrent.ExecutionContext.fromExecutorService(commitPool)
+    // wave-cache columnar compression (see Config.cacheCompressed): runtime
+    // SQL conf, read when each InMemoryRelation is built — set for the run,
+    // prior session value restored in the finally
+    val ccKey = "spark.sql.inMemoryColumnarStorage.compressed"
+    val ccPrev = spark.conf.getOption(ccKey)
+    spark.conf.set(ccKey, cfg.cacheCompressed.toString)
     try {
     while (!done && wave < cfg.maxWaves) {
       val tw0 = System.nanoTime()
@@ -692,7 +709,13 @@ object CrawlEngine {
         }
       }
     }
-    } finally commitEc.shutdown()
+    } finally {
+      commitEc.shutdown()
+      ccPrev match {
+        case Some(v) => spark.conf.set(ccKey, v)
+        case None    => spark.conf.unset(ccKey)
+      }
+    }
 
     // ---- result summary from the fetchlog: ONE scan, one job ----
     if (fetchlogT.isEmpty) return Result(wave, 0, 0, 0, 0, 0)
