@@ -25,7 +25,9 @@ import graft.operators.SeenSet
   *     builder's 2-rep probe in BASELINE.md is the bracket): both levels
   *     sit under this host's effective-core saturation, so its raw
   *     efficiency is the ceiling-free reading of the north rule's ≥0.8
-  *     criterion.
+  *     criterion — and the pair carries its OWN same-moment extract
+  *     ceiling (one rep at 2 and at 8) so the artifact also records
+  *     `scaling_efficiency_2_to_8_vs_ceiling`.
   *  3. a CPU-scaling ceiling probe: the map-only extraction job (scan →
   *     parse → agg, no meaningful shuffle) at both levels. On this
   *     single-JVM sandbox even embarrassingly parallel CPU work does not get
@@ -144,6 +146,7 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val tMain0 = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val amplify = sys.env.getOrElse("SPARK_GRAFT_AMPLIFY", "800").toInt
@@ -180,6 +183,34 @@ object Bench {
 
     var extra = ""
     if (!skipScaling) {
+      // ---- artifact-survival budget (round 5) ----
+      // The official protocol has grown past the only wall-clock the driver
+      // has PROVEN to accept (the r04 bench completed at exactly 3000 s sbt
+      // time; the driver's kill window is not observable from this sandbox,
+      // and a killed bench emits NOTHING — the whole round's scaling record
+      // would be lost, which is strictly worse than any thinner artifact).
+      // So the bench self-trims: the OPTIONAL stages (tier cross-checks,
+      // the 2→8 pair, its ceiling) run in priority order and each is
+      // skipped — with an explicit *_skipped_over_budget marker in the
+      // emitted JSON — when the elapsed clock plus a median-derived
+      // estimate of the stage's cost would pass the budget. The CORE
+      // protocol (query pass, 5-rep ceiling, 5-rep interleaved crawls) is
+      // never trimmed: the rep counts are the round-3 judgment; if the core
+      // alone busts the window, no trimming could have saved the artifact.
+      // Default = 3050 s, the longest wall the driver has demonstrably
+      // accepted (r04); on a fast host the core + tier checks fit under it
+      // and the 2→8 stages trim, on a slow host the tiers trim too. Builder
+      // full-protocol runs set SPARK_GRAFT_BENCH_BUDGET_SECS=99999.
+      val budgetSecs =
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SECS", "3050").toDouble
+      def elapsedSecs: Double = (System.nanoTime() - tMain0) / 1e9
+      def fits(stage: String, est: Double): Boolean = {
+        val ok = elapsedSecs + est <= budgetSecs
+        if (!ok) System.err.println(
+          f"[bench] BUDGET: skipping $stage (elapsed $elapsedSecs%.0f s + " +
+            f"est $est%.0f s > budget $budgetSecs%.0f s)")
+        ok
+      }
       val (pagesDir, bucketDir, stageBase) = stagePages(sfDir, amplify)
       try {
       // warm the page cache + JIT with one extract pass, then measure the
@@ -194,13 +225,11 @@ object Bench {
       val crawls = (1 to reps).map(_ =>
         (crawlAt(8, sfDir, amplify, bucketDir, SeenSet.BloomShardExact),
           crawlAt(32, sfDir, amplify, bucketDir, SeenSet.BloomShardExact)))
+      val m8 = median(crawls.map(_._1._1))
+      val m32 = median(crawls.map(_._2._1))
       // tier cross-checks: ONE BloomExact run and ONE BloomCuckoo run (the
       // compressed ~2.3 B/url opt-in) at 32 — digests must equal the
-      // primary tier's (same crawl, different confirm machinery)
-      val (exSec, exUrls, exDigest) =
-        crawlAt(32, sfDir, amplify, bucketDir, SeenSet.BloomExact)
-      val (ckSec, ckUrls, ckDigest) =
-        crawlAt(32, sfDir, amplify, bucketDir, SeenSet.BloomCuckoo)
+      // primary tier's (same crawl, different confirm machinery) — plus the
       // bloom-less probe (VERDICT r03 #7): bloomExpected=1 saturates in wave
       // 0, so the saturation bypass routes EVERY candidate through the
       // cuckoo confirm — the configuration a 10^10 crawl actually runs
@@ -209,9 +238,15 @@ object Bench {
       // approximate tier, a few dozen FP drops are the documented expected
       // loss (~probes × 1.2e-4 × load), not a bench failure — the delta is
       // published so the bound is measured, not just claimed.
-      val (coSec, coUrls, coDigest) =
-        crawlAt(32, sfDir, amplify, bucketDir, SeenSet.BloomCuckoo,
-          bloomExpected = Some(1L))
+      // Budget estimate: 3 crawls at ~1.4× the primary 32-thread median
+      // (the cross-check tiers have always landed within ~15% of it).
+      val tiers =
+        if (!fits("tier cross-checks", 3 * 1.4 * m32)) None
+        else Some((
+          crawlAt(32, sfDir, amplify, bucketDir, SeenSet.BloomExact),
+          crawlAt(32, sfDir, amplify, bucketDir, SeenSet.BloomCuckoo),
+          crawlAt(32, sfDir, amplify, bucketDir, SeenSet.BloomCuckoo,
+            bloomExpected = Some(1L))))
       // north-rule N/4N pair at 2→8 threads (round 5): the 8→32 pair is
       // host-ceiling-bound on this sandbox (the map-only CPU probe itself
       // gets only ~3.0× from 4× threads — memory bandwidth + hypervisor
@@ -229,9 +264,35 @@ object Bench {
       // record-vs-bracket policy. Per-rep seconds published, digests
       // folded into the all-tier check.
       val n4nReps = sys.env.getOrElse("SPARK_GRAFT_N4N_REPS", "1").toInt
-      val n4n = (1 to n4nReps).map(_ =>
-        (crawlAt(2, sfDir, amplify, bucketDir, SeenSet.BloomShardExact),
-          crawlAt(8, sfDir, amplify, bucketDir, SeenSet.BloomShardExact)))
+      // the pair's OWN ceiling: one extract rep at 2 and at 8, measured
+      // back-to-back with the 2→8 crawls so host drift hits crawl and
+      // ceiling alike (reusing the earlier 8-thread ceiling median would
+      // splice two host moments an hour apart — exactly the wander that
+      // moved vs-ceiling 0.09 between identical round-4 runs). This is the
+      // number that settles the north rule on this sandbox: raw 2→8 is
+      // honest but still host-floored (~0.66-0.79 at 1-2 reps), while the
+      // builder's interleaved probe measured the crawl AT the CPU ceiling
+      // (0.98/1.02). ~11 min extra at amplify 800; SPARK_GRAFT_N4N_CEILING=0
+      // skips it if the artifact budget is tight.
+      // Budget estimates from this run's own medians: a 2-thread crawl has
+      // measured 3.1-3.9× the 8-thread median and the pair's 8-thread rep
+      // ~1.0-1.4× of it (→ 5.2×m8 per rep, margin included); the 2-thread
+      // extract 2.9-3.3× the 8-thread ceiling median (→ 4.5×ce8 the pair).
+      val n4nWanted = n4nReps >= 1
+      val n4n =
+        if (!n4nWanted || !fits("2→8 crawl pair", n4nReps * 5.2 * m8))
+          Vector.empty[((Double, Long, Long), (Double, Long, Long))]
+        else (1 to n4nReps).toVector.map(_ =>
+          (crawlAt(2, sfDir, amplify, bucketDir, SeenSet.BloomShardExact),
+            crawlAt(8, sfDir, amplify, bucketDir, SeenSet.BloomShardExact)))
+      val n4nSkipped = n4nWanted && n4n.isEmpty
+      val n4nCeilWanted =
+        n4n.nonEmpty && !sys.env.get("SPARK_GRAFT_N4N_CEILING").contains("0")
+      val n4nCeil =
+        if (n4nCeilWanted && fits("2→8 ceiling pair", 4.5 * ce8))
+          Some((extractAt(2, pagesDir)._1, extractAt(8, pagesDir)._1))
+        else None
+      val n4nCeilSkipped = n4nCeilWanted && n4nCeil.isEmpty
       val thr8 = median(crawls.map(r => r._1._2 / r._1._1))
       val thr32 = median(crawls.map(r => r._2._2 / r._2._1))
       val digests = crawls.flatMap(r => Seq(r._1._3, r._2._3)) ++
@@ -240,12 +301,26 @@ object Bench {
       val ceilingSpeedup = ce8 / ce32
       def arr(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
       def spread(xs: Seq[Double]) = f"[${xs.min}%.2f,${xs.max}%.2f]"
-      val n4nJson = if (n4n.isEmpty) "" else {
-        val thr2n = median(n4n.map(r => r._1._2 / r._1._1))
-        val thr8n = median(n4n.map(r => r._2._2 / r._2._1))
-        f""""crawl_urls_per_sec_2":${round2(thr2n)},"crawl_urls_per_sec_8_n4n":${round2(thr8n)},"scaling_efficiency_2_to_8":${round3(thr8n / thr2n / 4.0)},"n4n_reps":$n4nReps,"crawl_secs_2":${arr(n4n.map(_._1._1))},"crawl_secs_8_n4n":${arr(n4n.map(_._2._1))},"""
+      val n4nJson =
+        if (n4nSkipped) """"n4n_skipped_over_budget":true,"""
+        else if (n4n.isEmpty) ""
+        else {
+          val thr2n = median(n4n.map(r => r._1._2 / r._1._1))
+          val thr8n = median(n4n.map(r => r._2._2 / r._2._1))
+          val ceilJson = n4nCeil.map { case (c2, c8) =>
+            f""""cpu_ceiling_speedup_2_to_8":${round3(c2 / c8)},"scaling_efficiency_2_to_8_vs_ceiling":${round3((thr8n / thr2n) / (c2 / c8))},"ceiling_secs_2":[${round2(c2)}],"ceiling_secs_8_n4n":[${round2(c8)}],"""
+          }.getOrElse(
+            if (n4nCeilSkipped) """"n4n_ceiling_skipped_over_budget":true,"""
+            else "")
+          f""""crawl_urls_per_sec_2":${round2(thr2n)},"crawl_urls_per_sec_8_n4n":${round2(thr8n)},"scaling_efficiency_2_to_8":${round3(thr8n / thr2n / 4.0)},$ceilJson"n4n_reps":$n4nReps,"crawl_secs_2":${arr(n4n.map(_._1._1))},"crawl_secs_8_n4n":${arr(n4n.map(_._2._1))},"""
+        }
+      val tierJson = tiers match {
+        case Some(((exSec, exUrls, exDigest), (ckSec, ckUrls, ckDigest),
+                   (coSec, coUrls, coDigest))) =>
+          f""""bloomexact_urls_per_sec_32":${round2(exUrls / exSec)},"cuckoo_urls_per_sec_32":${round2(ckUrls / ckSec)},"cuckoo_only_urls_per_sec_32":${round2(coUrls / coSec)},"cuckoo_only_digest_equal":${coDigest == digests.head},"cuckoo_only_url_delta":${crawls.head._2._2 - coUrls},"tier_digests_equal":${(digests ++ Seq(exDigest, ckDigest)).distinct.size == 1},"bloomexact_secs_32":[${round2(exSec)}],"cuckoo_secs_32":[${round2(ckSec)}],"cuckoo_only_secs_32":[${round2(coSec)}],"""
+        case None => """"tiers_skipped_over_budget":true,"""
       }
-      extra = f""","seen_tier":"bloom_shard_exact","crawl_urls_per_sec_8":${round2(thr8)},"crawl_urls_per_sec_32":${round2(thr32)},"scaling_efficiency":${round3(crawlSpeedup / 4.0)},$n4nJson"cpu_ceiling_speedup_8_to_32":${round3(ceilingSpeedup)},"scaling_efficiency_vs_ceiling":${round3(crawlSpeedup / ceilingSpeedup)},"extract_pages_per_sec_32":${round2(np / ce32)},"scaling_digests_equal":${digests.distinct.size == 1},"bloomexact_urls_per_sec_32":${round2(exUrls / exSec)},"cuckoo_urls_per_sec_32":${round2(ckUrls / ckSec)},"cuckoo_only_urls_per_sec_32":${round2(coUrls / coSec)},"cuckoo_only_digest_equal":${coDigest == digests.head},"cuckoo_only_url_delta":${crawls.head._2._2 - coUrls},"tier_digests_equal":${(digests ++ Seq(exDigest, ckDigest)).distinct.size == 1},"reps":$reps,"crawl_secs_8":${arr(crawls.map(_._1._1))},"crawl_secs_32":${arr(crawls.map(_._2._1))},"crawl_sec_spread_8":${spread(crawls.map(_._1._1))},"crawl_sec_spread_32":${spread(crawls.map(_._2._1))},"bloomexact_secs_32":[${round2(exSec)}],"cuckoo_secs_32":[${round2(ckSec)}],"cuckoo_only_secs_32":[${round2(coSec)}],"ceiling_secs_8":${arr(ceil.map(_._1._1))},"ceiling_secs_32":${arr(ceil.map(_._2._1))},"amplify":$amplify"""
+      extra = f""","seen_tier":"bloom_shard_exact","crawl_urls_per_sec_8":${round2(thr8)},"crawl_urls_per_sec_32":${round2(thr32)},"scaling_efficiency":${round3(crawlSpeedup / 4.0)},$n4nJson"cpu_ceiling_speedup_8_to_32":${round3(ceilingSpeedup)},"scaling_efficiency_vs_ceiling":${round3(crawlSpeedup / ceilingSpeedup)},"extract_pages_per_sec_32":${round2(np / ce32)},"scaling_digests_equal":${digests.distinct.size == 1},$tierJson"reps":$reps,"bench_budget_secs":${budgetSecs.toLong},"bench_elapsed_secs":${round2(elapsedSecs)},"crawl_secs_8":${arr(crawls.map(_._1._1))},"crawl_secs_32":${arr(crawls.map(_._2._1))},"crawl_sec_spread_8":${spread(crawls.map(_._1._1))},"crawl_sec_spread_32":${spread(crawls.map(_._2._1))},"ceiling_secs_8":${arr(ceil.map(_._1._1))},"ceiling_secs_32":${arr(ceil.map(_._2._1))},"amplify":$amplify"""
       } finally deleteTree(stageBase)
     }
 
