@@ -258,11 +258,10 @@ object Bench {
       // not route through the ceiling quotient. ONE driver rep by default
       // (a 2-thread crawl is 650-860 s at amplify 800; the bench already
       // runs ~50 min and losing the whole artifact to a timeout is worse
-      // than a thin pair) — the builder's 2-rep interleaved probe is
-      // published in BASELINE.md as the labeled bracket, so the claim
-      // rests on 3 measurements across two contexts, per the round-3/4
-      // record-vs-bracket policy. Per-rep seconds published, digests
-      // folded into the all-tier check.
+      // than a thin pair) — the builder's 4-rep interleaved bracket is
+      // published in BASELINE.md (raw 0.68-0.89, vs-ceiling median ≈1.00),
+      // per the round-3/4 record-vs-bracket policy. Per-rep seconds
+      // published, digests folded into the all-tier check.
       val n4nReps = sys.env.getOrElse("SPARK_GRAFT_N4N_REPS", "1").toInt
       // the pair's OWN ceiling: one extract rep at 2 and at 8, measured
       // back-to-back with the 2→8 crawls so host drift hits crawl and
