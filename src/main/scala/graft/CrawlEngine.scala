@@ -126,9 +126,10 @@ object CrawlEngine {
       // startup; opt out only for corpora already checked upstream.
       assertPagesUnique: Boolean = true,
       // frontier LSM layout (operators/Frontier): cold dirs are keyed
-      // (band·slices + tsSlice)·shards + hostBucket; fresh discoveries live
-      // in shard -1. At 10^10 size shards ≈ the cluster's task fan-out and
-      // bands to the crawl's depth profile (band = min(priority, bands-1)).
+      // ((band·slices + tsSlice)·chunks + rankChunk)·shards + hostBucket;
+      // fresh discoveries live in shard -1. At 10^10 size shards ≈ the
+      // cluster's task fan-out and bands to the crawl's depth profile
+      // (band = min(priority, bands-1)).
       frontierShards: Int = 32,
       frontierBands: Int = 8,
       // order-aligned slicing WITHIN a band (VERDICT r04 residual: the
@@ -143,6 +144,27 @@ object CrawlEngine {
       // on (same byte gate), so bench-scale waves keep the coarse layout.
       frontierTsSlices: Int = 4,
       frontierTsSliceSecs: Long = 21600L,
+      // rank-chunked cold dirs (the equal-key-backlog residual): ts-slicing
+      // is inert when a backlog shares one discovery_ts — the canonical
+      // 10^10 case is a seed list, where every row has (priority 0, depth 0,
+      // ts = Epoch) and the band's sort key degenerates to `url`, so a
+      // host's whole backlog lands in ONE indivisible dir that is re-read
+      // AND re-written every wave it stays the host's best (O(backlog²/
+      // budget) total I/O). Chunking splits a host's surviving rows by their
+      // EXACT politeness rank (row_number over the full sort key — strictly
+      // monotone, so chunk k's keys sort strictly below chunk k+1's and the
+      // stats planner prunes tail chunks with no planner change) into
+      // GEOMETRIC tiers: chunk k covers ranks [budget·W·(2^k−1),
+      // budget·W·(2^(k+1)−1)) — LSM leveling, so chunks (16 by default)
+      // cover 65535·W·budget rows per host and a backlog row is rewritten
+      // O(log(backlog)) times total as it migrates toward the head tier,
+      // instead of once per wave. Engaged with the sidecar gate (chunk 0
+      // below it); the one-time cost is a per-host window over the rows the
+      // wave already rewrites — a giant single-host backlog funnels its one
+      // ranking sort through one task ONCE per influx, after which waves
+      // read only its head tier. frontierRankChunks=1 disables.
+      frontierRankChunks: Int = 16,
+      frontierChunkWaves: Int = 4,
       // frontier read pruning + sidecar writes engage once the frontier's
       // manifest bytes pass this (sidecars at half of it, so stats exist by
       // the time pruning starts); below it every dir is read and the
@@ -242,11 +264,14 @@ object CrawlEngine {
   def run(spark: SparkSession, sfDir: String, storeRoot: String,
           cfg: Config = Config()): Result = {
     import spark.implicits._
-    // frontier dir keys pack (wave, shard) into a long with 20 shard bits
+    // frontier dir keys pack (wave, shard) into a long with 32 shard bits;
+    // the shard itself is an int column, so the dim product must fit 2^31
     require(cfg.frontierTsSlices >= 1, "frontierTsSlices must be >= 1")
+    require(cfg.frontierRankChunks >= 1, "frontierRankChunks must be >= 1")
     require(cfg.frontierBands.toLong * cfg.frontierTsSlices *
-      cfg.frontierShards < (1L << 20),
-      "frontierBands * frontierTsSlices * frontierShards must stay under 2^20")
+      cfg.frontierRankChunks * cfg.frontierShards < (1L << 31),
+      "frontierBands * frontierTsSlices * frontierRankChunks * " +
+        "frontierShards must stay under 2^31")
 
     val frontierT = new SnapshotTable(spark, storeRoot, "frontier")
     val fetchlogT = new SnapshotTable(spark, storeRoot, "fetchlog")
@@ -609,7 +634,7 @@ object CrawlEngine {
             if (!sidecarOn || cfg.frontierTsSlices <= 1) lit(0)
             else pmod(floor(unix_timestamp(col("discovery_ts"))
               / cfg.frontierTsSliceSecs), lit(cfg.frontierTsSlices)).cast("int")
-          val nextFrontier = survived.withColumn("is_surv", lit(1))
+          val deduped = survived.withColumn("is_surv", lit(1))
             .unionByName(discovered.withColumn("is_surv", lit(0)))
             .groupBy("url", "url_hash") // in-batch dedup: deterministic min tuple
             .agg(min(struct(col("priority"), col("depth"), col("discovery_ts"),
@@ -619,19 +644,47 @@ object CrawlEngine {
             .select(col("url"), col("url_hash"), col("host"), col("m.priority"),
               col("m.depth"), col("m.discovery_ts"), col("m.seed_subject"),
               col("m.seed_year"), col("vetted"))
+          // geometric rank tier (Config.frontierRankChunks): exact per-host
+          // rank over the full politeness key — strictly monotone (url
+          // tiebreak), so chunk k's keys sort strictly below chunk k+1's
+          // for every host and the stats planner prunes tail tiers unaided.
+          // The robots join reuses the disposition's budget formula so tier
+          // widths track each host's drain rate. Same byte gate as slicing.
+          val chunked =
+            if (!sidecarOn || cfg.frontierRankChunks <= 1)
+              deduped.withColumn("chunk", lit(0))
+            else {
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(col("host"))
+                .orderBy(col("priority"), col("depth"), col("discovery_ts"),
+                  col("url"))
+              deduped
+                .join(broadcast(robots.select(col("host"), col("crawl_delay_ms"))),
+                  Seq("host"), "left")
+                .withColumn("cw", greatest(lit(1L), lit(cfg.waveDurationMs) /
+                  coalesce(col("crawl_delay_ms"), lit(2000L))).cast("long")
+                  * cfg.frontierChunkWaves)
+                .withColumn("chunk", least(
+                  floor(log(2.0, (row_number().over(w) - 1) / col("cw") + 1.0)),
+                  lit((cfg.frontierRankChunks - 1).toLong)).cast("int"))
+                .drop("crawl_delay_ms", "cw")
+            }
+          val nextFrontier = chunked
             // VETTED rows (probed this wave: open, host allowed — incl. a
             // merged rediscovery, whose url was just probed via its
             // surviving copy) go to cold dirs keyed
-            // (band·S + tsSlice)·F + hostBucket; unvetted discoveries go to
-            // the fresh dir, always read next wave so seen-duplicates are
-            // consumed at first probe
+            // ((band·S + tsSlice)·C + chunk)·F + hostBucket; unvetted
+            // discoveries go to the fresh dir, always read next wave so
+            // seen-duplicates are consumed at first probe
             .withColumn("fshard", when(col("vetted") === 1,
-              ((least(col("priority"), lit(cfg.frontierBands - 1))
+              (((least(col("priority"), lit(cfg.frontierBands - 1))
                 * cfg.frontierTsSlices + sliceCol)
+                * cfg.frontierRankChunks + col("chunk"))
                 * cfg.frontierShards
                 + pmod(xxhash64(col("host")), lit(cfg.frontierShards)))
                 .cast("int"))
               .otherwise(lit(Frontier.FreshShard)))
+            .drop("chunk")
           val nf = if (sidecarOn) nextFrontier.cache() else nextFrontier
           // commit unconditionally — no emptiness-probe count() job: an empty
           // frontier just makes the next iteration's candidate count 0, which

@@ -12,11 +12,16 @@ import graft.plans.SnapshotTable
   * The frontier is a dir-granular LSM over [[SnapshotTable]]:
   *
   *   data/wave=<w>/shard_p=<s>                             (cold, VETTED)
-  *       s = (band·S + tsSlice)·F + hostBucket — S order-aligned ts-slices
-  *       per band (engaged with the sidecar gate; S=1 below it), so the
+  *       s = ((band·S + tsSlice)·C + rankChunk)·F + hostBucket — S
+  *       order-aligned ts-slices per band plus C geometric rank tiers
+  *       (both engaged with the sidecar gate; S=C=1 below it), so the
   *       ACTIVE band is not one indivisible slab: its early slice's
-  *       budget+1 rows prove its late slices deferred, and the band's own
-  *       cold tail is skipped like any other band's
+  *       budget+1 rows prove its late slices deferred, and — when a
+  *       backlog shares one discovery_ts (the 10^10 seed-list case, where
+  *       slicing is inert) — the exact-rank tiers do the same for the
+  *       band's own equal-key mass, LSM-leveled so a backlog row is
+  *       rewritten O(log backlog) times while it drains
+  *       (CrawlEngine.Config.frontierRankChunks)
   *   data/wave=<w>/shard_p=-1                              (fresh, UNVETTED)
   *
   * **Fresh dirs** hold a wave's discovered links. They are ALWAYS read the
@@ -71,13 +76,15 @@ object Frontier {
 
   /** A cold shard accumulating this many live dirs gets them all force-read
     * (= folded into one) on the next planned wave — bounds live dirs at
-    * threshold × bands × tsSlices × buckets instead of O(waves). The
-    * frontier analog of the seen-set's blob-count compaction.
+    * threshold × bands × tsSlices × rankChunks × buckets instead of
+    * O(waves). The frontier analog of the seen-set's blob-count compaction.
     */
   val CompactDirsPerShard: Int = 8
 
-  /** Pack a live dir's (wave, shard) into one long key (shard < 2^20). */
-  def dirKey(wave: Int, shard: Int): Long = (wave.toLong << 20) | shard.toLong
+  /** Pack a live dir's (wave, shard) into one long key (shard ≥ 0 < 2^31,
+    * so the 32-bit field never sign-extends).
+    */
+  def dirKey(wave: Int, shard: Int): Long = (wave.toLong << 32) | shard.toLong
 
   /** The full politeness sort key, flattened for stats rows. URLs are
     * compared as Java strings driver/executor-side — identical to Spark's
@@ -146,7 +153,7 @@ object Frontier {
     // an isin literal list is a pathological expression tree
     val liveKeysDf = liveKey.keys.toSeq.toDF("k")
     val stats = statsT.read()
-      .withColumn("k", (col("fwave").cast("long") * (1L << 20)) + col("fshard"))
+      .withColumn("k", (col("fwave").cast("long") * (1L << 32)) + col("fshard"))
       .join(broadcast(liveKeysDf), Seq("k"))
       .join(broadcast(robots.select(col("host"), col("allowed"),
         col("crawl_delay_ms"))), Seq("host"), "left")
@@ -277,7 +284,7 @@ object Frontier {
     import spark.implicits._
     if (bloomsT.isEmpty) return keyOf.values.toSeq // no blobs: all conservative hits
     val restricted = bloomsT.read()
-      .withColumn("k", (col("fwave").cast("long") * (1L << 20)) + col("fshard"))
+      .withColumn("k", (col("fwave").cast("long") * (1L << 32)) + col("fshard"))
       .join(broadcast(keyOf.keys.toSeq.toDF("k")), Seq("k"))
     if (bloomsT.latestVersion.map(bloomsT.versionBytes).getOrElse(0L) < broadcastBytes) {
       // small state: collect + broadcast, probe map-side (no shuffle)
@@ -288,7 +295,7 @@ object Frontier {
       // bucket → (dirKey, filter); probe with a broadcast map like bloomSplit
       val byBucket: Map[Int, Seq[(Long, org.apache.spark.util.sketch.BloomFilter)]] =
         blobs.toSeq.map { case (k, b) =>
-          ((k & ((1L << 20) - 1)).toInt % hostBuckets,
+          ((k & ((1L << 32) - 1)).toInt % hostBuckets,
             (k, org.apache.spark.util.sketch.BloomFilter.readFrom(
               new java.io.ByteArrayInputStream(b))))
         }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
@@ -357,7 +364,7 @@ object Frontier {
     import spark.implicits._
     val liveDf = livePairs.toSeq.toDF("k").withColumn("live", lit(true))
     val kept = t.read()
-      .withColumn("k", (col("fwave").cast("long") * (1L << 20)) + col("fshard"))
+      .withColumn("k", (col("fwave").cast("long") * (1L << 32)) + col("fshard"))
       .join(broadcast(liveDf), Seq("k"), "left")
       .filter(col("fwave") === keepWave || col("live"))
       .drop("k", "live")

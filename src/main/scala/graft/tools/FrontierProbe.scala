@@ -19,6 +19,7 @@ import graft.plans.SnapshotTable
   *                       unpruned (always-read) comparison run]
   *                      [tsSlices=4 — pass 1 for the unsliced layout]
   *                      [tsSliceSecs=21600]
+  *                      [rankChunks=16 — pass 1 for the unchunked layout]
   */
 object FrontierProbe {
   def main(args: Array[String]): Unit = {
@@ -29,6 +30,7 @@ object FrontierProbe {
     val gateBytes = if (args.length > 4) args(4).toLong else 0L
     val tsSlices = if (args.length > 5) args(5).toInt else 4
     val tsSliceSecs = if (args.length > 6) args(6).toLong else 21600L
+    val rankChunks = if (args.length > 7) args(7).toInt else 16
     val spark = SparkSession.builder().master("local[32]")
       .appName("graft-frontier-probe")
       .config("spark.sql.shuffle.partitions", "32")
@@ -43,7 +45,8 @@ object FrontierProbe {
       waveDurationMs = budgetMs, maxWaves = maxWaves, amplify = amplify,
       strategy = SeenSet.BloomShardExact,
       frontierPruneBytes = gateBytes, // 0 = sidecars + pruning from wave 0
-      frontierTsSlices = tsSlices, frontierTsSliceSecs = tsSliceSecs))
+      frontierTsSlices = tsSlices, frontierTsSliceSecs = tsSliceSecs,
+      frontierRankChunks = rankChunks))
     val sec = (System.nanoTime() - t0) / 1e9
     val ft = new SnapshotTable(spark, store, "frontier")
     println("wave | live_dirs | read | skipped | skipped_rows | staged_bytes | live_bytes | staged/live")

@@ -276,14 +276,16 @@ class FrontierSpec extends AnyFunSuite {
       .orderBy("wave").collect().map(_.toString).toSeq
     assert(summary(sSl) == summary(sFlat))
     // slices materialized: some band holds cold dirs in >1 ts-slice
-    // (slice = (shard / F) mod S, band = shard / (F·S))
+    // (shard = ((band·S + slice)·C + chunk)·F + bucket)
     val ft = new SnapshotTable(spark, sSl, "frontier")
     val S = base.frontierTsSlices
     val F = base.frontierShards
+    val C = base.frontierRankChunks
     val slicesPerBand = (1 to ft.latestVersion.get)
       .flatMap(v => ft.versionDirs(v).flatMap(SnapshotTable.shardIdOf))
       .filter(_ >= 0).distinct
-      .groupBy(sh => sh / (F * S)).view.mapValues(_.map(sh => (sh / F) % S).distinct.size)
+      .groupBy(sh => sh / (F * C * S)).view
+      .mapValues(_.map(sh => (sh / (F * C)) % S).distinct.size)
     assert(slicesPerBand.values.exists(_ > 1),
       s"no band ever split across ts-slices — slicing is inert: $slicesPerBand")
     // finer dirs can only improve (or tie) the provably-deferred row count
@@ -295,6 +297,51 @@ class FrontierSpec extends AnyFunSuite {
     val (skF, skS) = (skippedTotal(sFlat), skippedTotal(sSl))
     assert(skS >= skF,
       s"slicing must never skip fewer provably-deferred rows ($skS < $skF)")
+  }
+
+  test("rank-chunked cold dirs (the equal-key backlog residual): digests, " +
+       "results and per-wave counts identical to the unchunked layout, " +
+       "geometric tiers materialize for the equal-ts seed mass, and row " +
+       "pruning strictly improves") {
+    // every seed shares (priority 0, depth 0, discovery_ts = Epoch), so
+    // within band 0 the sort key degenerates to `url` and ts-slicing is
+    // inert for the seed backlog — the hot host's ~37 equal-key seeds are
+    // exactly the mass only exact-rank tiers can split
+    val base = CrawlEngine.Config(waveDurationMs = 1000L, maxWaves = 10,
+      strategy = SeenSet.BloomShardExact, frontierPruneBytes = 0L)
+    val sOff = freshStore("fchunk-off")
+    val rOff = CrawlEngine.run(spark, sf, sOff, base.copy(frontierRankChunks = 1))
+    val sOn = freshStore("fchunk-on")
+    val rOn = CrawlEngine.run(spark, sf, sOn, base) // default: 16 tiers
+    assert(rOn == rOff, s"chunked run diverged: $rOn vs $rOff")
+    assert(CrawlEngine.traceDigest(spark, sOn) ==
+      CrawlEngine.traceDigest(spark, sOff), "fetch order must be identical")
+    def summary(s: String) = CrawlEngine.waveSummary(spark, s)
+      .orderBy("wave").collect().map(_.toString).toSeq
+    assert(summary(sOn) == summary(sOff))
+    // tiers materialized: some (band·slice, bucket) group splits across >1
+    // rank chunk (shard = ((band·S + slice)·C + chunk)·F + bucket)
+    val ft = new SnapshotTable(spark, sOn, "frontier")
+    val F = base.frontierShards
+    val C = base.frontierRankChunks
+    val chunksPerGroup = (1 to ft.latestVersion.get)
+      .flatMap(v => ft.versionDirs(v).flatMap(SnapshotTable.shardIdOf))
+      .filter(_ >= 0).distinct
+      .groupBy(sh => (sh / (F * C), sh % F)).view
+      .mapValues(_.map(sh => (sh / F) % C).distinct.size)
+    assert(chunksPerGroup.values.exists(_ > 1),
+      s"no (band·slice, bucket) group split across rank tiers: $chunksPerGroup")
+    // the unchunked layout cannot skip a host's equal-key backlog (it is
+    // one indivisible dir, always that host's best); the tiers make its
+    // tail provably deferred — strictly more rows skipped over the crawl
+    def skippedTotal(s: String): Long = {
+      val t = new SnapshotTable(spark, s, "frontier")
+      (1 to t.latestVersion.get)
+        .map(v => t.metaAt(v).getOrElse("skipped_rows", "0").toLong).sum
+    }
+    val (skOff, skOn) = (skippedTotal(sOff), skippedTotal(sOn))
+    assert(skOn > skOff,
+      s"rank tiers must strictly improve provable deferral ($skOn <= $skOff)")
   }
 
   test("pruned deep crawl RESUMES to the identical final state (sidecar " +
