@@ -172,10 +172,18 @@ object CrawlEngine {
       // trade at bench scale where planning jobs cost more than the read.
       frontierPruneBytes: Long = 256L << 20,
       // bloom-sidecar bytes above which the duplicate-vs-unread-dir probe
-      // switches from collect+broadcast to the bucket-aligned cogroup
-      // (Frontier.dupHitDirs): at 10^10 the cold tail's blooms are ~12 GB —
-      // never driver-collected. Identical results either way (FrontierSpec).
+      // stops driver-collecting the FILTERS (Frontier.dupHitDirs): at 10^10
+      // the cold tail's blooms are ~12 GB — never driver-collected. Above
+      // it, a wave of ≤ frontierDupDiscRows discoveries broadcasts the
+      // wave's (bucket, hash) pairs instead and streams the blobs map-side
+      // (zero blob shuffle — the steady-state 10^10 shape); only when BOTH
+      // sides are huge does the probe fall back to the bucket-aligned
+      // cogroup, which pays one exchange of the cold bloom state. Identical
+      // results on all three plans (FrontierSpec).
       frontierDupBroadcastBytes: Long = Frontier.DupProbeBroadcastBytes,
+      // discovery-count bound for the map-side regime above — same driver-
+      // memory contract as broadcastWaveLimit (~16 B/discovery collected)
+      frontierDupDiscRows: Long = 4000000L,
       // in-memory columnar compression for the engine's wave caches
       // (okParsed / waveLog / staged frontier). Spark's session default is
       // ON; the crawl is CPU-bound and its cache is wave-scoped (bounded by
@@ -618,7 +626,10 @@ object CrawlEngine {
             else Frontier.dupHitDirs(spark,
               discovered.select(col("host"), col("url_hash")),
               fplan.skippedDirs, fbloomsT, cfg.frontierShards,
-              cfg.frontierDupBroadcastBytes)
+              cfg.frontierDupBroadcastBytes,
+              // discoveries ≤ parsed pages (one next link each): nOk bounds
+              // the map-side collect without an extra count job
+              waveRowBound = nOk, discBroadcastRows = cfg.frontierDupDiscRows)
           val survived0 = waveLog.filter(col("disp") === "deferred")
             .select(frontierCols.map(col): _*)
           val survived = if (hitDirs.isEmpty) survived0

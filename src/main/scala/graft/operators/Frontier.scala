@@ -266,18 +266,30 @@ object Frontier {
     * dirs. Missing blobs (version skew) count as hits — reading is always
     * sound.
     *
-    * Two physical plans, same result (FrontierSpec asserts equality):
-    * below `broadcastBytes` of blob state, collect+broadcast the filters
-    * and probe map-side; above it, cogroup blobs with discoveries on the
-    * host bucket so each task deserializes only its bucket's filters
-    * (per-task memory = cold-bloom-bytes / hostBuckets, bounded by the
-    * same shard-count sizing rule as the frontier dirs) and no blob byte
-    * ever reaches the driver.
+    * Three physical plans, same result (FrontierSpec asserts equality),
+    * chosen by which side is small:
+    *  - blob state < `broadcastBytes` (bench scale): collect+broadcast the
+    *    FILTERS, probe map-side over the discoveries — one tiny job, zero
+    *    shuffles.
+    *  - blob state big but the wave ≤ `discBroadcastRows` (the 10^10
+    *    steady state: cold-tail blooms ~12 GB, a wave ~10^7 urls):
+    *    collect+broadcast the DISCOVERY (bucket, hash) pairs — the same
+    *    wave-bounded driver-memory contract as the fetch join's wave
+    *    broadcast — and stream the blobs map-side: zero blob shuffle (a
+    *    bucket-cogroup here would exchange the ENTIRE cold bloom state
+    *    every probing wave), per-task memory one deserialized filter at a
+    *    time, and no blob byte ever reaches the driver.
+    *  - both sides huge: cogroup blobs with discoveries on the host bucket
+    *    so each task deserializes only its bucket's filters (per-task
+    *    memory = cold-bloom-bytes / hostBuckets); pays the blob exchange,
+    *    the price of assuming nothing about wave size.
     */
   def dupHitDirs(spark: SparkSession, discovered: DataFrame,
                  unreadCold: Seq[String], bloomsT: SnapshotTable,
                  hostBuckets: Int,
-                 broadcastBytes: Long = DupProbeBroadcastBytes): Seq[String] = {
+                 broadcastBytes: Long = DupProbeBroadcastBytes,
+                 waveRowBound: Long = Long.MaxValue,
+                 discBroadcastRows: Long = 4000000L): Seq[String] = {
     if (unreadCold.isEmpty) return Nil
     val keyOf: Map[Long, String] = unreadCold.map(p =>
       dirKey(SnapshotTable.waveOf(p).get, SnapshotTable.shardIdOf(p).get) -> p).toMap
@@ -309,10 +321,46 @@ object Frontier {
           col("url_hash"))
         .select(explode(hitsUdf(col("b"), col("url_hash"))).as("k"))
         .distinct().collect().map(r => keyOf(r.getLong(0)))).distinct
+    } else if (waveRowBound <= discBroadcastRows) {
+      // big blobs, wave-bounded discoveries: broadcast the wave's
+      // (bucket, hash) pairs and stream the blobs map-side — zero blob
+      // shuffle, one deserialized filter in memory per row. Presence probe
+      // first (column-prunes to `k`) so missing blobs stay conservative
+      // hits. The distinct() bounds the collect at the wave's unique
+      // discoveries (≤ waveRowBound by the caller's contract).
+      val present = restricted.select(col("k")).as[Long].collect().toSet
+      val missing = keyOf.keys.filterNot(present.contains).map(keyOf).toSeq
+      val disc: Map[Int, Array[Long]] = discovered
+        .select(pmod(xxhash64(col("host")), lit(hostBuckets)).cast("int").as("b"),
+          col("url_hash")).distinct()
+        .as[(Int, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      if (disc.isEmpty) return missing
+      val bc = spark.sparkContext.broadcast(disc)
+      val hits = restricted
+        .select(col("k"), col("blob"),
+          (col("fshard") % hostBuckets).cast("int").as("b"))
+        .as[(Long, Array[Byte], Int)]
+        .mapPartitions { it =>
+          it.flatMap { case (k, blob, b) =>
+            bc.value.get(b) match {
+              case None => Iterator.empty
+              case Some(hs) =>
+                val f = org.apache.spark.util.sketch.BloomFilter.readFrom(
+                  new java.io.ByteArrayInputStream(blob))
+                var i = 0
+                var hit = false
+                while (!hit && i < hs.length) {
+                  hit = f.mightContainLong(hs(i)); i += 1
+                }
+                if (hit) Iterator.single(k) else Iterator.empty
+            }
+          }
+        }.collect()
+      (missing ++ hits.map(keyOf)).distinct
     } else {
-      // big state: bucket-aligned cogroup — only the (tiny) hit-key set is
-      // ever collected. Presence probe first (parquet column-prunes to `k`,
-      // no blob bytes read) so missing blobs stay conservative hits.
+      // both sides huge: bucket-aligned cogroup — only the (tiny) hit-key
+      // set is ever collected. Presence probe first (parquet column-prunes
+      // to `k`, no blob bytes read) so missing blobs stay conservative hits.
       val present = restricted.select(col("k")).as[Long].collect().toSet
       val missing = keyOf.keys.filterNot(present.contains).map(keyOf).toSeq
       val blobsByBucket = restricted

@@ -152,18 +152,26 @@ class FrontierSpec extends AnyFunSuite {
     val dir = ft.versionDirs(ft.latestVersion.get).head
     bloomsT.commit(Frontier.bloomsFor(spark,
       rows.withColumn("fshard", col("fshard")), 1), 1)
-    // gate=default forces collect+broadcast; gate=0 forces the distributed
-    // bucket-aligned cogroup (the 10^10 path — blooms never reach the
-    // driver). Both plans must return the identical hit set on every case.
-    def probe(u: String, h: String, gate: Long) = Frontier.dupHitDirs(spark,
-      Seq((h, u)).toDF("host", "u")
-        .select(col("host"), xxhash64(col("u")).as("url_hash")),
-      Seq(dir), bloomsT, F, broadcastBytes = gate)
-    for (gate <- Seq(Frontier.DupProbeBroadcastBytes, 0L)) {
-      assert(probe(url, host, gate) == Seq(dir),
-        s"the rediscovered url must hit its dir (gate=$gate)")
-      assert(probe(s"https://$host/bece/questions/other-page", host, gate).isEmpty,
-        s"an unrelated url of the same host must not hit (gate=$gate)")
+    // gate=default forces collect+broadcast of the FILTERS; gate=0 with a
+    // small waveRowBound forces the map-side discovery-broadcast regime
+    // (the 10^10 steady state — zero blob shuffle); gate=0 with
+    // waveRowBound over the disc limit forces the bucket-aligned cogroup
+    // (both-sides-huge fallback). All three plans must return the
+    // identical hit set on every case.
+    def probe(u: String, h: String, gate: Long, waveBound: Long) =
+      Frontier.dupHitDirs(spark,
+        Seq((h, u)).toDF("host", "u")
+          .select(col("host"), xxhash64(col("u")).as("url_hash")),
+        Seq(dir), bloomsT, F, broadcastBytes = gate, waveRowBound = waveBound)
+    val regimes = Seq(
+      (Frontier.DupProbeBroadcastBytes, Long.MaxValue), // filter broadcast
+      (0L, 1L),                                         // discovery broadcast
+      (0L, Long.MaxValue))                              // cogroup
+    for ((gate, wb) <- regimes) {
+      assert(probe(url, host, gate, wb) == Seq(dir),
+        s"the rediscovered url must hit its dir (gate=$gate, wb=$wb)")
+      assert(probe(s"https://$host/bece/questions/other-page", host, gate, wb).isEmpty,
+        s"an unrelated url of the same host must not hit (gate=$gate, wb=$wb)")
     }
     // a dir with NO bloom blob is a conservative hit (reading is sound):
     // both with an EMPTY bloom table and with a non-empty table that holds
@@ -172,13 +180,12 @@ class FrontierSpec extends AnyFunSuite {
     val otherBlooms = new SnapshotTable(spark, freshStore("fdup3"), "frontier_blooms")
     otherBlooms.commit(Frontier.bloomsFor(spark,
       rows.withColumn("fshard", lit(shard + 1)), 9), 9) // different (wave, shard)
-    for (gate <- Seq(Frontier.DupProbeBroadcastBytes, 0L);
-         t <- Seq(naked, otherBlooms)) {
+    for ((gate, wb) <- regimes; t <- Seq(naked, otherBlooms)) {
       assert(Frontier.dupHitDirs(spark,
         Seq((host, url)).toDF("host", "u")
           .select(col("host"), xxhash64(col("u")).as("url_hash")),
-        Seq(dir), t, F, broadcastBytes = gate) == Seq(dir),
-        s"missing blob must be a conservative hit (gate=$gate)")
+        Seq(dir), t, F, broadcastBytes = gate, waveRowBound = wb) == Seq(dir),
+        s"missing blob must be a conservative hit (gate=$gate, wb=$wb)")
     }
   }
 
@@ -228,33 +235,41 @@ class FrontierSpec extends AnyFunSuite {
       s"generator must exercise actual skips, saw only $sawSkip/2000")
   }
 
-  test("forced-distributed dup probe: a pruned crawl with the cogroup path " +
-       "on EVERY wave (broadcast gate 0) is byte-identical to the broadcast " +
-       "path") {
+  test("forced-distributed dup probe: pruned crawls on the map-side " +
+       "(discovery-broadcast) and cogroup paths on EVERY wave are " +
+       "byte-identical to the filter-broadcast path") {
     // same deep-frontier config as the pruned-crawl test: 7 of its 10 waves
-    // skip dirs, so the dup probe plans (and the distributed variant
-    // cogroups) every one of those waves — hit semantics themselves are
-    // unit-tested above (this fixture's links are in-degree-1, so no
-    // discovery ever collides with a deferred cold row: dup_hit_dirs = 0
-    // in both runs, asserted so the fixture can't silently degrade)
+    // skip dirs, so the dup probe plans every one of those waves — gate 0
+    // alone selects the map-side regime (small waves), gate 0 + disc-rows 0
+    // forces the cogroup fallback. Hit semantics themselves are unit-tested
+    // above (this fixture's links are in-degree-1, so no discovery ever
+    // collides with a deferred cold row: dup_hit_dirs = 0 in all runs,
+    // asserted so the fixture can't silently degrade).
     val cfg = CrawlEngine.Config(waveDurationMs = 1000L, maxWaves = 10,
       strategy = SeenSet.BloomShardExact, frontierPruneBytes = 0L)
     val sBc = freshStore("fdupbc")
     val rBc = CrawlEngine.run(spark, sf, sBc, cfg)
-    val sDist = freshStore("fdupdist")
-    val rDist = CrawlEngine.run(spark, sf, sDist,
+    val sMap = freshStore("fdupmap")
+    val rMap = CrawlEngine.run(spark, sf, sMap,
       cfg.copy(frontierDupBroadcastBytes = 0L))
-    assert(rDist == rBc, s"distributed dup probe diverged: $rDist vs $rBc")
-    assert(CrawlEngine.traceDigest(spark, sDist) ==
+    val sCg = freshStore("fdupcg")
+    val rCg = CrawlEngine.run(spark, sf, sCg,
+      cfg.copy(frontierDupBroadcastBytes = 0L, frontierDupDiscRows = 0L))
+    assert(rMap == rBc, s"map-side dup probe diverged: $rMap vs $rBc")
+    assert(rCg == rBc, s"cogroup dup probe diverged: $rCg vs $rBc")
+    assert(CrawlEngine.traceDigest(spark, sMap) ==
+      CrawlEngine.traceDigest(spark, sBc), "fetch order must be identical")
+    assert(CrawlEngine.traceDigest(spark, sCg) ==
       CrawlEngine.traceDigest(spark, sBc), "fetch order must be identical")
     def meta(s: String, k: String): Seq[Int] = {
       val ft = new SnapshotTable(spark, s, "frontier")
       (0 to ft.latestVersion.get).map(v =>
         ft.metaAt(v).getOrElse(k, "0").toInt)
     }
-    assert(meta(sDist, "skipped_dirs").sum > 0, "pruning must engage")
-    assert(meta(sDist, "dup_hit_dirs") == meta(sBc, "dup_hit_dirs"),
-      "per-wave dup-hit counts must match across probe plans")
+    assert(meta(sMap, "skipped_dirs").sum > 0, "pruning must engage")
+    for (s <- Seq(sMap, sCg))
+      assert(meta(s, "dup_hit_dirs") == meta(sBc, "dup_hit_dirs"),
+        "per-wave dup-hit counts must match across probe plans")
   }
 
   test("ts-sliced cold dirs (the active-band residual): digests, results " +
