@@ -283,6 +283,15 @@ object Frontier {
     *    so each task deserializes only its bucket's filters (per-task
     *    memory = cold-bloom-bytes / hostBuckets); pays the blob exchange,
     *    the price of assuming nothing about wave size.
+    *
+    * Floor cost common to the big-state plans, named: the bloom table is
+    * SCANNED in full each probing wave (the live-key join restricts rows
+    * logically, not row-groups physically, and unread cold dirs span most
+    * commit waves anyway) — ~12 GB distributed at 10^10, ~12 MB per
+    * executor on a 1000-executor cluster, with no shuffle on the map-side
+    * plan. Bounding the scan below O(cold blooms) would need key-organized
+    * blob files; at one fixed-size blob per DIR (not per url) the table is
+    * ~0.1% of frontier bytes, so the scan is not the wave's critical path.
     */
   def dupHitDirs(spark: SparkSession, discovered: DataFrame,
                  unreadCold: Seq[String], bloomsT: SnapshotTable,
@@ -402,6 +411,16 @@ object Frontier {
     * so a crash replay re-plans from identical sidecars; rows of
     * `keepWave` (the wave just committed, not yet in any live set) are
     * always kept.
+    *
+    * Cost, named: the fold rewrites the WHOLE sidecar (live rows + ≤
+    * threshold waves of appends), so its amortized per-wave cost is
+    * O(live sidecar / threshold) — at the 10^10 shape, ~12 GB of cold-dir
+    * blooms folded every 16 waves ≈ 750 MB/wave, the same order as the
+    * wave's own frontier writes and fully distributed. The threshold
+    * trades this against per-wave scan bloat: every planned wave reads the
+    * stats table (and a probing wave the bloom table) in full before the
+    * live-key join restricts rows, so unfolded dead appends are paid on
+    * EVERY wave while the fold is paid once.
     */
   def compactSidecar(t: SnapshotTable, livePairs: Set[Long], keepWave: Int,
                      threshold: Int = 16): Unit = {
