@@ -290,8 +290,9 @@ object Frontier {
     * commit waves anyway) — ~12 GB distributed at 10^10, ~12 MB per
     * executor on a 1000-executor cluster, with no shuffle on the map-side
     * plan. Bounding the scan below O(cold blooms) would need key-organized
-    * blob files; at one fixed-size blob per DIR (not per url) the table is
-    * ~0.1% of frontier bytes, so the scan is not the wave's critical path.
+    * blob files; at ~1.2 B/url (one row-count-sized blob per dir) the
+    * table is ~1% of frontier bytes, so the scan is not the wave's
+    * critical path.
     */
   def dupHitDirs(spark: SparkSession, discovered: DataFrame,
                  unreadCold: Seq[String], bloomsT: SnapshotTable,
