@@ -184,6 +184,12 @@ object CrawlEngine {
       // discovery-count bound for the map-side regime above — same driver-
       // memory contract as broadcastWaveLimit (~16 B/discovery collected)
       frontierDupDiscRows: Long = 4000000L,
+      // sidecar fold threshold (Frontier.compactSidecar): stats/bloom tables
+      // rewrite to live-rows-only once they hold this many dirs. Tests lower
+      // it to force folds inside short crawls (the crash-replay-across-a-
+      // fold repro); the default amortizes the fold to ~1/16 of the live
+      // sidecar per wave.
+      frontierSidecarFoldDirs: Int = 16,
       // in-memory columnar compression for the engine's wave caches
       // (okParsed / waveLog / staged frontier). Spark's session default is
       // ON; the crawl is CPU-bound and its cache is wave-scoped (bounded by
@@ -728,11 +734,13 @@ object CrawlEngine {
             Seq(
               () => phase("frontier-stats", System.nanoTime()) {
                 fstatsT.commit(Frontier.statsFor(vetted, wave + 1), wave + 1)
-                Frontier.compactSidecar(fstatsT, preLivePairs, wave + 1)
+                Frontier.compactSidecar(fstatsT, preLivePairs, wave + 1,
+                  cfg.frontierSidecarFoldDirs)
               },
               () => phase("frontier-blooms", System.nanoTime()) {
                 fbloomsT.commit(Frontier.bloomsFor(spark, vetted, wave + 1), wave + 1)
-                Frontier.compactSidecar(fbloomsT, preLivePairs, wave + 1)
+                Frontier.compactSidecar(fbloomsT, preLivePairs, wave + 1,
+                  cfg.frontierSidecarFoldDirs)
               })
           }
           val running = (commits ++ sidecarCommits).map(f => Future(f())(commitEc))

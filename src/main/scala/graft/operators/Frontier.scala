@@ -409,9 +409,18 @@ object Frontier {
     * to live-dirs-only once they hold `threshold` dirs (the same
     * rewrite-data-files analog as the seen-set). `livePairs` must be the
     * PRE-wave live set — dead rows of the CURRENT wave survive one cycle —
-    * so a crash replay re-plans from identical sidecars; rows of
-    * `keepWave` (the wave just committed, not yet in any live set) are
-    * always kept.
+    * so a crash replay re-plans from identical sidecars.
+    *
+    * `keepWave` (the wave just committed, not yet in any live set) keeps
+    * its rows through its own DATA DIR, carried VERBATIM in the fold
+    * manifest — never copied into the fold dir. A mid-wave crash replay
+    * re-commits that wave's sidecar rows by overwriting the same
+    * `data/wave=<keepWave>` dir; a fold-held copy would then DUPLICATE
+    * every (dir, host) stats row, and the planner's budget+1 rule would
+    * double-count `n` — an unsound skip (wrong dispositions, wrong
+    * digests). Carrying the dir instead makes the replay's overwrite
+    * supersede the crashed attempt's rows exactly like every other
+    * same-wave commit in the engine.
     *
     * Cost, named: the fold rewrites the WHOLE sidecar (live rows + ≤
     * threshold waves of appends), so its amortized per-wave cost is
@@ -427,18 +436,22 @@ object Frontier {
                      threshold: Int = 16): Unit = {
     val v = t.latestVersion
     if (v.isEmpty || t.versionDirs(v.get).size < threshold) return
+    // fold dirs carry negative wave tags, so the suffix match is exact
+    val (keepDirs, foldable) = t.dirsWithSizes(v.get)
+      .partition(_._1.endsWith(s"/wave=$keepWave"))
+    if (foldable.isEmpty) return
     import org.apache.spark.sql.SparkSession
     val spark = SparkSession.active
     import spark.implicits._
     val liveDf = livePairs.toSeq.toDF("k").withColumn("live", lit(true))
-    val kept = t.read()
+    val kept = spark.read.parquet(foldable.map(_._1): _*)
       .withColumn("k", (col("fwave").cast("long") * (1L << 32)) + col("fshard"))
       .join(broadcast(liveDf), Seq("k"), "left")
-      .filter(col("fwave") === keepWave || col("live"))
+      .filter(col("live"))
       .drop("k", "live")
     // stage under a version-unique NEGATIVE wave path: the fold reads the
     // very dirs a same-wave overwrite would delete mid-read
     val dir = t.stage(kept, -(v.get + 2))
-    t.publishStaged(dir, keepWave, append = false)
+    t.publishExact((dir -> (None: Option[Long])) +: keepDirs, keepWave)
   }
 }

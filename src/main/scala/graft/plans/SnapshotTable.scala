@@ -148,6 +148,15 @@ final class SnapshotTable(spark: SparkSession, root: String, name: String) {
     */
   def dirsWithSizes(v: Int): Seq[(String, Option[Long])] = manifest(v).dirs
 
+  /** Publish an EXPLICIT dir list as the next snapshot — no carry-forward,
+    * no append semantics; the caller owns the full visibility decision
+    * (sidecar folds, which replace dead dirs with one folded dir while
+    * carrying a just-committed wave's dir verbatim).
+    */
+  def publishExact(dirs: Seq[(String, Option[Long])], wave: Int,
+                   metaKv: Map[String, String] = Map.empty): Unit =
+    publishDirs(dirs, wave, metaKv)
+
   /** Dirs visible in version `v`, optionally restricted to the given shard
     * ids (sharded layout, see [[commitSharded]]).
     */

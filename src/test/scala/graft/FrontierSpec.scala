@@ -372,4 +372,38 @@ class FrontierSpec extends AnyFunSuite {
     assert(CrawlEngine.traceDigest(spark, sTwo) ==
       CrawlEngine.traceDigest(spark, sOnce))
   }
+
+  test("mid-wave crash replay across a sidecar FOLD keeps stats rows unique " +
+       "(a fold-held copy of the crashed wave's rows would double-count n " +
+       "in the budget+1 rule — unsound skips)") {
+    val cfg = CrawlEngine.Config(waveDurationMs = 1000L, maxWaves = 10,
+      strategy = SeenSet.BloomShardExact, frontierPruneBytes = 0L,
+      frontierSidecarFoldDirs = 3)
+    val sRef = freshStore("ffold-ref")
+    val rRef = CrawlEngine.run(spark, sf, sRef, cfg)
+    val sCr = freshStore("ffold-crash")
+    CrawlEngine.run(spark, sf, sCr, cfg.copy(maxWaves = 5))
+    // threshold 3 makes wave 4 a FOLD wave (dirs go 1,2,3→fold,…), so the
+    // crashed attempt's LAST act on fstats was a fold: its latest manifest
+    // must hold a (negative-wave) fold dir — the replay then re-commits the
+    // same wave's stats next to whatever the fold kept
+    val st = new SnapshotTable(spark, sCr, "frontier_stats")
+    assert(st.latestVersion.exists(v =>
+      st.versionDirs(v).exists(_.contains("/wave=-"))),
+      "fixture did not fold in the crashed wave — adjust maxWaves/threshold")
+    // crash DURING the last processed wave: its sidecar commits (and fold)
+    // landed, the frontier never advanced (CrawlEngineSpec's simulation)
+    val snaps = new java.io.File(s"$sCr/frontier/_snapshots")
+      .listFiles().filter(_.getName.endsWith(".manifest")).sortBy(_.getName)
+    assert(snaps.last.delete())
+    val rCr = CrawlEngine.run(spark, sf, sCr, cfg)
+    // the crisp bug signature: exactly one stats row per (dir, host) —
+    // replay or not — so the planner's per-host row sums stay exact
+    val dups = st.read().groupBy("fwave", "fshard", "host").count()
+      .filter(col("count") > 1).count()
+    assert(dups == 0, s"$dups duplicated (dir, host) stats rows after replay")
+    assert(rCr.fetched == rRef.fetched && rCr.seenDigest == rRef.seenDigest)
+    assert(CrawlEngine.traceDigest(spark, sCr) ==
+      CrawlEngine.traceDigest(spark, sRef))
+  }
 }
