@@ -1,7 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
-
 import graft.CrawlEngine
 import graft.operators.SeenSet
 
@@ -9,6 +7,17 @@ import graft.operators.SeenSet
   *
   * Usage: CrawlRun [sfDir] [storeDir] [strategy: exact|bloomexact|bloomcuckoo]
   *                 [cpus]
+  *
+  * `GRAFT_MASTER` overrides the Spark master. The value that matters is
+  * `local-cluster[W,C,MB]`: unlike `local[N]` (one JVM, executor ==
+  * driver), it launches W REAL executor JVMs via the standalone-deploy
+  * code path — every broadcast, shuffle block, task closure and
+  * accumulator crosses a process boundary exactly as on a multi-executor
+  * cluster, so a digest-equal crawl here is direct evidence the engine
+  * has no hidden shared-JVM dependency (the north rule's spark-submit
+  * criterion, minus only the network). Requires SPARK_HOME (executor
+  * launcher) — the compiled classes dir is forwarded to executors via
+  * `spark.executor.extraClassPath` automatically.
   */
 object CrawlRun {
   def main(args: Array[String]): Unit = {
@@ -24,16 +33,7 @@ object CrawlRun {
     val cpus = if (args.length > 3) args(3) else sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val amplify = if (args.length > 4) args(4).toInt else 1
     val waveMs = if (args.length > 5) args(5).toLong else 60000L
-
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-crawl")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = ToolSession.build("graft-crawl", cpus)
 
     val t0 = System.nanoTime()
     val r = CrawlEngine.run(spark, sfDir, store,

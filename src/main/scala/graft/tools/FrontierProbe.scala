@@ -1,7 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
-
 import graft.CrawlEngine
 import graft.operators.SeenSet
 import graft.plans.SnapshotTable
@@ -31,14 +29,7 @@ object FrontierProbe {
     val tsSlices = if (args.length > 5) args(5).toInt else 4
     val tsSliceSecs = if (args.length > 6) args(6).toLong else 21600L
     val rankChunks = if (args.length > 7) args(7).toInt else 16
-    val spark = SparkSession.builder().master("local[32]")
-      .appName("graft-frontier-probe")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = ToolSession.build("graft-frontier-probe", "32")
     val store = java.nio.file.Files.createTempDirectory("graft-fprobe").toString
     val t0 = System.nanoTime()
     val r = CrawlEngine.run(spark, sfDir, store, CrawlEngine.Config(

@@ -1,0 +1,38 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Session builder shared by the CLI tools: honors `GRAFT_MASTER`, wiring
+  * the extra configs `local-cluster[W,C,MB]` needs (executor heap from the
+  * master string's MB field; the project classes dir forwarded via
+  * `spark.executor.extraClassPath`, since executor JVMs are spawned from
+  * SPARK_HOME and know nothing of the sbt classpath). `local-cluster` is
+  * the multi-executor evidence mode: W separate executor JVMs through the
+  * standalone-deploy path, so every broadcast, shuffle block, task closure
+  * and accumulator crosses a real process boundary — run with
+  * `SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13` (the launcher needs
+  * both to build executor commands from a release layout).
+  */
+object ToolSession {
+  def build(app: String, cpus: String): SparkSession = {
+    val master = sys.env.getOrElse("GRAFT_MASTER", s"local[$cpus]")
+    val b = SparkSession.builder()
+      .master(master)
+      .appName(app)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+    if (master.startsWith("local-cluster")) {
+      val mb = master.stripPrefix("local-cluster[").stripSuffix("]")
+        .split(",")(2).trim
+      b.config("spark.executor.memory", s"${mb}m")
+        .config("spark.executor.extraClassPath",
+          sys.props.getOrElse("graft.classes",
+            new java.io.File("target/scala-2.13/classes").getAbsolutePath))
+    }
+    val s = b.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
