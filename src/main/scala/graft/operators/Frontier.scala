@@ -86,7 +86,9 @@ object Frontier {
     */
   def dirKey(wave: Int, shard: Int): Long = (wave.toLong << 32) | shard.toLong
 
-  /** The full politeness sort key, flattened for stats rows. URLs are
+  /** The full politeness sort key, flattened for stats rows; `ts` is epoch
+    * MICROSECONDS (Spark's timestamp resolution, decoded via `unix_micros`
+    * so the driver-side ordering matches the rank's exactly). URLs are
     * compared as Java strings driver/executor-side — identical to Spark's
     * UTF8 binary min/max for the ASCII urls the engine generates (noted:
     * supplementary-plane characters would order differently).
@@ -161,10 +163,18 @@ object Frontier {
       .withColumn("budget", greatest(lit(1L), lit(waveDurationMs) /
         coalesce(col("crawl_delay_ms"), lit(2000L))).cast("long"))
       .select(col("k"), col("host"), col("allowed"), col("budget"), col("n"),
-        col("min_pri"), col("min_depth"), col("min_ts"), col("min_url"),
-        col("max_pri"), col("max_depth"), col("max_ts"), col("max_url"))
-      .as[(Long, String, Boolean, Long, Long, Int, Int, java.sql.Timestamp,
-        String, Int, Int, java.sql.Timestamp, String)]
+        // ts decoded at MICROSECOND precision — Spark's own timestamp
+        // resolution — so the driver-side K ordering is exactly the
+        // ordering the politeness rank sorts by. (Timestamp.getTime would
+        // truncate to millis: two keys equal to the ms but not the µs
+        // would fall through to the url tiebreak, which can disagree with
+        // the real ts order — an unsound skip for external pages tables
+        // whose warc_ts carries sub-ms precision.)
+        col("min_pri"), col("min_depth"), unix_micros(col("min_ts")).as("min_ts"),
+        col("min_url"), col("max_pri"), col("max_depth"),
+        unix_micros(col("max_ts")).as("max_ts"), col("max_url"))
+      .as[(Long, String, Boolean, Long, Long, Int, Int, Long,
+        String, Int, Int, Long, String)]
 
     // per host: a dir stays needed until budget+1 strictly-better vetted
     // rows exist in strictly-better dirs (see soundness note above). The
@@ -177,8 +187,8 @@ object Frontier {
         val allowed = ds.head._3
         val budget = ds.head._4
         val triples: IndexedSeq[(K, K, Long)] = ds.toIndexedSeq.map(d =>
-          (K(d._6, d._7, d._8.getTime, d._9),
-            K(d._10, d._11, d._12.getTime, d._13), d._5))
+          (K(d._6, d._7, d._8, d._9),
+            K(d._10, d._11, d._12, d._13), d._5))
         val needed = neededForHost(triples, budget, allowed)
         ds.iterator.zipWithIndex.map { case (d, i) => (d._1, needed(i), d._5) }
       }

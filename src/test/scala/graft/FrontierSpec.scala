@@ -83,6 +83,45 @@ class FrontierSpec extends AnyFunSuite {
     assert(p3.skippedDirs.isEmpty && p3.readDirs.size == live.size)
   }
 
+  test("plan compares stats keys at MICROSECOND precision: sub-ms ts order " +
+       "is never decided by the url tiebreak (external-warc_ts soundness)") {
+    import spark.implicits._
+    val root = freshStore("fmicro")
+    val ft = new SnapshotTable(spark, root, "frontier")
+    val statsT = new SnapshotTable(spark, root, "frontier_stats")
+    val robots = Politeness.robotsFixture(spark).toDF()
+    val host = "h1.example.test" // 1000 ms delay ⇒ budget 1 at 1000 ms waves
+    // both dirs' keys share the same MILLISECOND (getTime == 1000) but
+    // differ at the microsecond: dir A's rows are at +800 µs, dir B's row
+    // at +100 µs. Under ms truncation the ts fields tie and the url
+    // tiebreak ("u-b" < "u-z") calls A strictly better — 2 rows ≥ budget+1
+    // ⇒ B skipped, UNSOUNDLY (in real µs order B's row outranks A's).
+    def ts(micros: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(1000L)
+      t.setNanos((micros * 1000L).toInt)
+      t
+    }
+    val rows = Seq((1, "x"), (33, "y")).toDF("fshard", "v")
+    ft.publishSharded(ft.stageSharded(rows, "fshard", 1), 1)
+    val live = ft.dirsWithSizes(ft.latestVersion.get)
+    statsT.commit(Seq(
+      (1, 1, host, 2L, 0, 0, ts(800), "u-a", 0, 0, ts(800), "u-b"),
+      (1, 33, host, 5L, 0, 0, ts(100), "u-z", 0, 0, ts(100), "u-z"))
+      .toDF("fwave", "fshard", "host", "n", "min_pri", "min_depth", "min_ts",
+        "min_url", "max_pri", "max_depth", "max_ts", "max_url"),
+      1, append = false)
+    val p = Frontier.plan(spark, live, statsT, robots, 1000L, 0L)
+    // µs order: dir B holds the host's best row — it must be READ. (Under
+    // ms truncation A's url-tiebreak win skipped B, unsoundly.) Skipping
+    // dir A is correct either way: B's 5 rows at +100 µs are ≥ budget+1
+    // strictly-better rows, so A's rows cannot rank this wave.
+    assert(p.readDirs.exists(_.contains("shard_p=33")),
+      s"dir B holds the genuinely-best row in µs order and must be read, " +
+        s"got $p")
+    assert(p.skippedDirs.forall(_.contains("shard_p=1")),
+      s"only dir A (outranked past budget+1) may be deferred, got $p")
+  }
+
   test("deep-frontier pruned crawl (VERDICT r04 next #1+#6): reads a strict " +
        "subset of frontier dirs, stages O(touched) bytes, carries skipped " +
        "dirs verbatim — results, digests and per-wave counts IDENTICAL to " +
