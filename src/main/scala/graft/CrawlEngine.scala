@@ -667,25 +667,15 @@ object CrawlEngine {
           // for every host and the stats planner prunes tail tiers unaided.
           // The robots join reuses the disposition's budget formula so tier
           // widths track each host's drain rate. Same byte gate as slicing.
-          val chunked =
+          // Ranks via Frontier.rankChunks' range-partitioned exact rank —
+          // NOT Window.partitionBy(host), which would sort a mega-host's
+          // whole read-back backlog in one task (e.g. a compaction wave
+          // folding its tail tier).
+          val (chunked, chunkCleanup) =
             if (!sidecarOn || cfg.frontierRankChunks <= 1)
-              deduped.withColumn("chunk", lit(0))
-            else {
-              val w = org.apache.spark.sql.expressions.Window
-                .partitionBy(col("host"))
-                .orderBy(col("priority"), col("depth"), col("discovery_ts"),
-                  col("url"))
-              deduped
-                .join(broadcast(robots.select(col("host"), col("crawl_delay_ms"))),
-                  Seq("host"), "left")
-                .withColumn("cw", greatest(lit(1L), lit(cfg.waveDurationMs) /
-                  coalesce(col("crawl_delay_ms"), lit(2000L))).cast("long")
-                  * cfg.frontierChunkWaves)
-                .withColumn("chunk", least(
-                  floor(log(2.0, (row_number().over(w) - 1) / col("cw") + 1.0)),
-                  lit((cfg.frontierRankChunks - 1).toLong)).cast("int"))
-                .drop("crawl_delay_ms", "cw")
-            }
+              (deduped.withColumn("chunk", lit(0)), () => ())
+            else Frontier.rankChunks(deduped, robots, cfg.waveDurationMs,
+              cfg.frontierChunkWaves, cfg.frontierRankChunks)
           val nextFrontier = chunked
             // VETTED rows (probed this wave: open, host allowed — incl. a
             // merged rediscovery, whose url was just probed via its
@@ -771,6 +761,7 @@ object CrawlEngine {
               "staged_bytes" -> stagedDirs.flatMap(_._2).sum.toString))
           }
           if (sidecarOn) nf.unpersist()
+          chunkCleanup() // releases rankChunks' range-sorted persist
 
           okParsed.unpersist(); waveLog.unpersist()
           if (timing) System.err.println(

@@ -415,6 +415,132 @@ object Frontier {
     }
   }
 
+  /** Exact per-host politeness rank (1-based, appended as `rnk`), skew-safe.
+    *
+    * `Window.partitionBy(host)` puts a host's every row in ONE task: a
+    * mega-host's backlog (the Common-Crawl reality — one domain can carry
+    * 10^8 frontier rows) becomes a single-task sort, the exact disease the
+    * politeness rank's salted shield cures (`Politeness.rank`). That shield
+    * doesn't transfer here — chunking needs a rank for EVERY row, not a
+    * top-k — so this uses the other classic exact shape:
+    *
+    *  1. `repartitionByRange` over (host, key): a mega-host spreads across
+    *     many partitions, each task sorting ~rows/partitions regardless of
+    *     host skew; hosts stay contiguous across the partition sequence.
+    *  2. One tiny pass collects per-partition boundary stats — (first host,
+    *     its leading-run length, last host, its trailing-run length) — ONE
+    *     row per partition (never per host: O(partitions) driver memory).
+    *  3. The driver walks partitions in order computing, for each
+    *     partition whose first host continues from the previous one, that
+    *     host's carried-in row count; the broadcast of these offsets is
+    *     O(partitions).
+    *  4. A final 1-1 pass assigns rank = carried offset (first host only)
+    *     + running count within the partition.
+    *
+    * The rank is a pure function of the row set — the key is unique per
+    * row (urls are frontier-unique), so ranks don't depend on partition
+    * boundaries — which keeps chunk assignment replay-deterministic. The
+    * range-sorted input IS persisted for the duration (returned cleanup
+    * releases it): the offsets are only valid for the boundary layout they
+    * were measured on, so the two passes must read the same shuffle output,
+    * not a re-sampled recomputation.
+    */
+  private[graft] def exactHostRank(df: DataFrame,
+                                   numPartitions: Option[Int] = None)
+      : (DataFrame, () => Unit) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ord = Seq(col("host"), col("priority"), col("depth"),
+      col("discovery_ts"), col("url"))
+    // default (None) leaves the exchange AQE-coalescible — right for the
+    // engine, where small read-sets shrink to few partitions and 10^10-
+    // scale ones stay wide; an explicit count pins the layout (tests use
+    // it to force multi-partition boundary stitching on tiny data)
+    val ranged = numPartitions match {
+      case Some(n) => df.repartitionByRange(n, ord: _*)
+      case None    => df.repartitionByRange(ord: _*)
+    }
+    val sorted = ranged.sortWithinPartitions(ord: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hIdx = sorted.schema.fieldIndex("host")
+    // (pid, firstHost, leadingRun, lastHost, trailingRun) per non-empty
+    // partition; range partitioning keeps a host contiguous, so firstHost ==
+    // lastHost iff the partition holds exactly one host
+    val stats = sorted.toDF().mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val pid = org.apache.spark.TaskContext.get.partitionId()
+        var first: String = null; var firstN = 0L
+        var last: String = null; var lastN = 0L
+        var inLeading = true
+        while (it.hasNext) {
+          val h = it.next().getString(hIdx)
+          if (first == null) { first = h; last = h }
+          if (h != last) { last = h; lastN = 0L; inLeading = false }
+          lastN += 1
+          if (inLeading) firstN += 1
+        }
+        Iterator.single((pid, first, firstN, last, lastN))
+      }
+    }.collect().sortBy(_._1)
+    var carryHost: String = null
+    var carry = 0L
+    val offsets = Map.newBuilder[Int, Long]
+    stats.foreach { case (pid, first, firstN, last, lastN) =>
+      if (first == carryHost && carry > 0L) offsets += pid -> carry
+      if (first == last) { // single-host partition: the run continues
+        if (first == carryHost) carry += lastN
+        else { carryHost = first; carry = lastN }
+      } else { carryHost = last; carry = lastN }
+    }
+    val bc = spark.sparkContext.broadcast(offsets.result())
+    val outSchema = sorted.schema.add("rnk", org.apache.spark.sql.types.LongType)
+    val ranked = sorted.toDF().mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.get.partitionId()
+      val base = bc.value.getOrElse(pid, 0L)
+      var firstHost: String = null
+      var cur: String = null
+      var n = 0L
+      it.map { r =>
+        val h = r.getString(hIdx)
+        if (firstHost == null) firstHost = h
+        if (h == cur) n += 1 else { cur = h; n = 1L }
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq :+ (if (h == firstHost) base + n else n))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    (ranked, () => { sorted.unpersist(); () })
+  }
+
+  /** Geometric rank-tier assignment (appended as `chunk`): tier k covers
+    * per-host politeness ranks [cw·(2^k−1), cw·(2^(k+1)−1)) where cw =
+    * budget · chunkWaves, capped at nChunks−1 — so a draining backlog row
+    * is rewritten O(log backlog) times, LSM-style, and the stats planner
+    * prunes whole tail tiers (tier keys sort strictly below the next tier's
+    * for every host: the rank order IS the key order, url tiebreak
+    * included). Ranks come from [[exactHostRank]] (skew-safe); the tier
+    * formula is integer-exact — `floor(log2((rnk−1) div cw + 1))` via
+    * binary-string length, with the same tier boundaries as real-division
+    * `floor(log2((rnk−1)/cw + 1))` (no power of two lies strictly between
+    * q+1 and q+2) but none of `LOG`'s float-at-the-boundary risk.
+    */
+  def rankChunks(deduped: DataFrame, robots: DataFrame, waveDurationMs: Long,
+                 chunkWaves: Int, nChunks: Int): (DataFrame, () => Unit) = {
+    val withCw = deduped
+      .join(broadcast(robots.select(col("host"), col("crawl_delay_ms"))),
+        Seq("host"), "left")
+      .withColumn("cw", greatest(lit(1L), lit(waveDurationMs) /
+        coalesce(col("crawl_delay_ms"), lit(2000L))).cast("long")
+        * chunkWaves)
+      .drop("crawl_delay_ms")
+    val (ranked, cleanup) = exactHostRank(withCw)
+    (ranked
+      .withColumn("chunk", least(
+        length(bin(expr("((rnk - 1) div cw) + 1"))) - 1,
+        lit(nChunks - 1)).cast("int"))
+      .drop("cw", "rnk"), cleanup)
+  }
+
   /** Sidecar retention: stats/bloom tables are append-per-wave; fold them
     * to live-dirs-only once they hold `threshold` dirs (the same
     * rewrite-data-files analog as the seen-set). `livePairs` must be the
