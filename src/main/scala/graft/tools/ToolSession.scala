@@ -15,7 +15,13 @@ import org.apache.spark.sql.SparkSession
   */
 object ToolSession {
   def build(app: String, cpus: String): SparkSession = {
-    val master = sys.env.getOrElse("GRAFT_MASTER", s"local[$cpus]")
+    // precedence: explicit GRAFT_MASTER > a master already supplied by
+    // spark-submit (arrives as the spark.master system property — without
+    // this the tools silently override `spark-submit --master ...` back to
+    // local[cpus], defeating the submit) > single-JVM default
+    val master = sys.env.get("GRAFT_MASTER")
+      .orElse(sys.props.get("spark.master"))
+      .getOrElse(s"local[$cpus]")
     val b = SparkSession.builder()
       .master(master)
       .appName(app)
