@@ -16,8 +16,12 @@ import graft.operators.SeenSet
 object CrawlOnce {
 
   private def session(cpus: Int, app: String): SparkSession = {
-    val s = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // honors GRAFT_MASTER / a spark-submit-supplied master (ToolSession):
+    // `local-cluster[W,C,MB]` turns a rep into W real executor JVMs — the
+    // north rule's two-cluster-size protocol in its literal spark-submit form
+    val master = ToolSession.resolveMaster(cpus.toString)
+    val b = SparkSession.builder()
+      .master(master)
       .appName(app)
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
@@ -25,7 +29,7 @@ object CrawlOnce {
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val s = ToolSession.configureCluster(b, master).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

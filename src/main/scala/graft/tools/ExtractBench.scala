@@ -13,12 +13,16 @@ object ExtractBench {
   def main(args: Array[String]): Unit = {
     val pagesDir = args(0)
     val cpus = args(1).toInt
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .appName(s"extract-bench-$cpus")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
-      .config("spark.sql.files.maxPartitionBytes", "8m")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // honors GRAFT_MASTER / a spark-submit master (ToolSession) so the
+    // extract ceiling can be probed at N vs 4N executor JVMs too
+    val master = ToolSession.resolveMaster(cpus.toString)
+    val spark = ToolSession.configureCluster(
+      SparkSession.builder().master(master)
+        .appName(s"extract-bench-$cpus")
+        .config("spark.sql.shuffle.partitions", cpus.toString)
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.ui.enabled", "false"),
+      master).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val parse = udf((html: Array[Byte]) => QuestionParser.parsePage(html))
     val t0 = System.nanoTime()

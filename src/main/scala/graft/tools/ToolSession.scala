@@ -14,21 +14,25 @@ import org.apache.spark.sql.SparkSession
   * both to build executor commands from a release layout).
   */
 object ToolSession {
-  def build(app: String, cpus: String): SparkSession = {
-    // precedence: explicit GRAFT_MASTER > a master already supplied by
-    // spark-submit (arrives as the spark.master system property — without
-    // this the tools silently override `spark-submit --master ...` back to
-    // local[cpus], defeating the submit) > single-JVM default
-    val master = sys.env.get("GRAFT_MASTER")
+
+  /** Master resolution shared by every tool main. Precedence: explicit
+    * GRAFT_MASTER > a master already supplied by spark-submit (arrives as
+    * the spark.master system property — without this the tools silently
+    * override `spark-submit --master ...` back to local[cpus], defeating
+    * the submit) > single-JVM default.
+    */
+  def resolveMaster(cpus: String): String =
+    sys.env.get("GRAFT_MASTER")
       .orElse(sys.props.get("spark.master"))
       .getOrElse(s"local[$cpus]")
-    val b = SparkSession.builder()
-      .master(master)
-      .appName(app)
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
+
+  /** The extra configs `local-cluster[W,C,MB]` needs: executor heap from
+    * the master string's MB field, and the compiled classes dir forwarded
+    * to the executor JVMs (they are spawned from SPARK_HOME and know
+    * nothing of the sbt classpath; harmless when the code arrives via a
+    * spark-submit jar instead).
+    */
+  def configureCluster(b: SparkSession.Builder, master: String): SparkSession.Builder = {
     if (master.startsWith("local-cluster")) {
       val mb = master.stripPrefix("local-cluster[").stripSuffix("]")
         .split(",")(2).trim
@@ -36,8 +40,19 @@ object ToolSession {
         .config("spark.executor.extraClassPath",
           sys.props.getOrElse("graft.classes",
             new java.io.File("target/scala-2.13/classes").getAbsolutePath))
-    }
-    val s = b.getOrCreate()
+    } else b
+  }
+
+  def build(app: String, cpus: String): SparkSession = {
+    val master = resolveMaster(cpus)
+    val b = SparkSession.builder()
+      .master(master)
+      .appName(app)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+    val s = configureCluster(b, master).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
