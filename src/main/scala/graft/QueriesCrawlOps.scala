@@ -390,7 +390,7 @@ object QueriesCrawlOps {
 
     // A1/S8: restructured per-batch docs (objectives/theory arrays)
     "r1_restructured_docs" -> ((s, d) =>
-      Restructure.restructuredDocs(parsedQuestions(s, d))
+      Restructure.restructuredDocs(parsedQuestions(s, d, materialize = false))
         .select(col("subject"), col("year"), size(col("objectives")).as("n_objectives"),
           size(col("theory")).as("n_theory"), col("page_screenshot"))),
 
@@ -401,7 +401,7 @@ object QueriesCrawlOps {
     // flat columns: the driver's pandas compare cannot sort nested structs
     // (CORRECTNESS_r01 r3 crash); the full nested doc is exercised by
     // RestructureSpec / BatchSinkSpec goldens.
-    "r3_metadata" -> ((s, d) => Restructure.metadata(parsedQuestions(s, d))
+    "r3_metadata" -> ((s, d) => Restructure.metadata(parsedQuestions(s, d, materialize = false))
       .select(col("subject"), col("year"), col("extraction_date"),
         col("spider_stats.total_questions").as("total_questions"),
         col("spider_stats.objective_questions").as("objective_questions"),
@@ -417,7 +417,8 @@ object QueriesCrawlOps {
         col("format_version"))),
 
     // S12/J3/A3: image manifest with deterministic local paths
-    "r4_image_manifest" -> ((s, d) => Restructure.imageManifest(parsedQuestions(s, d))),
+    "r4_image_manifest" -> ((s, d) =>
+      Restructure.imageManifest(parsedQuestions(s, d, materialize = false))),
 
     // J2/A6: metadata enrichment outcomes — the REAL round-trip: write the
     // batch artifact tree, put batches into all three states (enriched =
@@ -447,19 +448,28 @@ object QueriesCrawlOps {
     "w1_screenshot_workflow" -> ((s, d) => workflowQuery(s, d)),
 
     // S5/S6/S7 literal: raw Scrapy feed write + scan-back round-trip —
-    // per-batch item counts by type from the re-read temp json
+    // per-batch item counts by type from the re-read temp json.
+    // One multiLine json read over ALL feed files (guide §6 small-files /
+    // §2.4): the per-file spark.read.json formulation ran one schema-
+    // inference job per batch plus a 20-way union (40 Exchanges in the
+    // plan); reading the file set in a single scan with the batch key
+    // recovered from the file name computes the identical (subject, year,
+    // type, n_items) rows in one job. readRawFeed stays the per-file S7
+    // operator (tests, BatchSinkSpec).
     "r6_raw_feed_roundtrip" -> ((s, d) => {
       val out = Scratch.dir("r6")
       val feeds = BatchSink.writeRawFeeds(s, parsedQuestions(s, d), out)
-      feeds.map { case (j, _) =>
-        val name = java.nio.file.Paths.get(j).getFileName.toString
-          .stripPrefix("temp_").stripSuffix(".json")
-        val cut = name.lastIndexOf('_')
-        BatchSink.readRawFeed(s, j)
-          .groupBy(col("type")).agg(count(lit(1)).as("n_items"))
-          .withColumn("subject", lit(name.substring(0, cut)))
-          .withColumn("year", lit(name.substring(cut + 1).toInt))
-      }.reduce(_ unionByName _)
+      // only `type` is aggregated: an explicit schema skips the inference
+      // pass; the batch key is the file name's last '_' split, as before
+      s.read.option("multiLine", "true").schema("type STRING")
+        .json(feeds.map(_._1): _*)
+        .select(col("type"),
+          regexp_extract(input_file_name(), "temp_(.*)_(\\d+)\\.json$", 1)
+            .as("subject"),
+          regexp_extract(input_file_name(), "temp_(.*)_(\\d+)\\.json$", 2)
+            .cast("int").as("year"))
+        .groupBy(col("subject"), col("year"), col("type"))
+        .agg(count(lit(1)).as("n_items"))
         .select(col("subject"), col("year"), col("type"), col("n_items"))
     })
   )
@@ -472,21 +482,41 @@ object QueriesCrawlOps {
     import graft.operators.ScreenshotWorkflow
     val out = Scratch.dir("w1")
     val q = parsedQuestions(s, d)
-    BatchSink.writeBatchOutputs(s, q, out)
-    val items = Restructure.metadata(q).select(col("subject"), col("year"))
-      .collect().sortBy(r => (r.getString(0), r.getInt(1)))
-      .map(r => ScreenshotWorkflow.Item(r.getString(0), r.getInt(1),
-        s"https://kuulchat.com/bece/questions/${r.getString(0)}-${r.getInt(1)}/"))
+    val dirs = BatchSink.writeBatchOutputs(s, q, out)
+    // batch items from the just-written artifact dirs (the reference's
+    // workflow walks the output tree, screenshot_workflow.py:283-296) —
+    // the separate metadata job this replaced recomputed the same
+    // (subject, year) set a sixth time per invocation. Dir names are
+    // `<subject>_<year>` with subject = everything before the LAST '_'
+    // (X10 name parse), already sorted by writeBatchOutputs.
+    val items = dirs.map { p =>
+      val name = java.nio.file.Paths.get(p).getFileName.toString
+      val cut = name.lastIndexOf('_')
+      val (subject, year) = (name.substring(0, cut), name.substring(cut + 1).toInt)
+      ScreenshotWorkflow.Item(subject, year,
+        s"https://kuulchat.com/bece/questions/$subject-$year/")
+    }.sortBy(i => (i.subject, i.year))
     val results = ScreenshotWorkflow.processBatch(s, items.toSeq, out)
     ScreenshotWorkflow.batchTally(results)
   }
 
   /** Questions parsed straight from the synthesized pages (shared input for
     * the restructure-family queries).
+    *
+    * `materialize` (guide §1.2/§5): the SINK queries run SEVERAL actions
+    * over this frame (flattenCsv's schema agg + main pass; metadata's
+    * self-join of two aggregates; writeBatchOutputs' four collects) — the
+    * w1 invocation measured ~9 full page-parse passes. localCheckpoint
+    * bounds that to one. It is invocation-scoped — each call re-parses from
+    * the parquet inputs, nothing is keyed on the plan across bench passes.
+    * The single-action queries (r1, r3, r4) skip it: for them the
+    * materialize/read-back round-trip costs more than the one or two
+    * in-plan parse subtrees it saves (measured +0.1 s each).
     */
-  private def parsedQuestions(s: SparkSession, d: String): DataFrame = {
+  private def parsedQuestions(s: SparkSession, d: String,
+                              materialize: Boolean = true): DataFrame = {
     val parse = udf((html: Array[Byte]) => QuestionParser.parsePage(html))
-    PagesGen.pages(s, d).toDF()
+    val base = PagesGen.pages(s, d).toDF()
       .withColumn("p", parse(col("html")))
       .select(col("url"),
         regexp_extract(col("url"), "questions/([a-z-]+)-", 1).as("seed_subject"),
@@ -496,5 +526,6 @@ object QueriesCrawlOps {
         col("q.section"), col("q.qtype"), col("q.number"), col("q.question"),
         col("q.options"), col("q.subparts"), col("q.diagrams"),
         col("q.answer"), col("q.solution"), col("q.answer_after_solution"))
+    if (materialize) base.localCheckpoint() else base
   }
 }

@@ -20,10 +20,13 @@ object TextAnalysis {
     size(expr(s"regexp_extract_all(${text.toString}, '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]', 0)"))
 
   /** Occurrences of a literal marker inside text (portable arithmetic:
-    * length difference / marker length).
+    * length difference / marker length). Literal `replace` (StringReplace,
+    * codegen) — the marker is a plain string, so the regexp engine the
+    * round-5 formulation paid per row (Pattern.quote + regexp_replace,
+    * 8 regex passes per row in t5) buys nothing; arithmetic unchanged.
     */
   def markerCount(text: Column, marker: String): Column =
-    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(marker), ""))) /
+    ((length(text) - length(replace(text, lit(marker), lit("")))) /
       marker.length).cast("long")
 
   /** Quality features: length, tokens, distinct-token ratio, mean token

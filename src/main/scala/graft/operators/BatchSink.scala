@@ -112,15 +112,30 @@ object BatchSink {
     */
   def writeBatchOutputs(spark: SparkSession, questions: DataFrame,
                         outDir: String): Seq[String] = {
-    val docs = Restructure.restructuredDocs(questions)
-      .collect().map(r => (r.getAs[String]("subject"), r.getAs[Int]("year")) -> r).toMap
-    val metas = Restructure.metadata(questions)
-      .collect().map(r => (r.getAs[String]("subject"), r.getAs[Int]("year")) -> r).toMap
-    val reports = Restructure.reports(spark, questions)
-      .collect().map(r => (r.getAs[String]("subject"), r.getAs[Int]("year")) -> r).toMap
-    val flat = Restructure.flattenCsv(questions)
-    val flatCols = flat.columns.drop(4) // subject, year, url, pos are keys
-    val flatRows = flat.collect().groupBy(r => (r.getAs[String]("subject"), r.getAs[Int]("year")))
+    // the three per-batch collects are independent jobs over one (usually
+    // checkpointed) input writing to disjoint driver maps — run them
+    // concurrently from driver threads so their fixed per-job cost overlaps
+    // (guide §2.6; the engine's wave commits use the same pattern). The
+    // report text is rendered driver-side from the collected metadata rows
+    // (Restructure.reportText) instead of running a second metadata job.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val docsF = Future(Restructure.restructuredDocs(questions)
+      .collect().map(r => (r.getAs[String]("subject"), r.getAs[Int]("year")) -> r).toMap)
+    val metasF = Future(Restructure.metadata(questions)
+      .collect().map(r => (r.getAs[String]("subject"), r.getAs[Int]("year")) -> r).toMap)
+    val flatF = Future {
+      val flat = Restructure.flattenCsv(questions)
+      val cols = flat.columns.drop(4) // subject, year, url, pos are keys
+      (cols, flat.collect().groupBy(r => (r.getAs[String]("subject"), r.getAs[Int]("year"))))
+    }
+    val docs = Await.result(docsF, Duration.Inf)
+    val metas = Await.result(metasF, Duration.Inf)
+    val (flatCols, flatRows) = Await.result(flatF, Duration.Inf)
+    val reports = metas.map { case (k, m) =>
+      k -> Restructure.reportText(k._1, k._2, m.getAs[org.apache.spark.sql.Row]("spider_stats"))
+    }
 
     docs.keys.toSeq.sortBy(identity).map { case (subject, year) =>
       val dir = Paths.get(outDir, s"${subject}_$year")
@@ -158,7 +173,7 @@ object BatchSink {
 
       // S11: report text
       Files.write(dir.resolve("reports").resolve(s"${subject}_${year}_image_download_report.txt"),
-        reports((subject, year)).getAs[String]("report").getBytes(StandardCharsets.UTF_8))
+        reports((subject, year)).getBytes(StandardCharsets.UTF_8))
 
       dir.toString
     }

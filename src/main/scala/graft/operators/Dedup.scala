@@ -19,6 +19,32 @@ object Dedup {
 
   private def tokensCol(text: Column): Column = split(lower(text), " ")
 
+  /** Spread an under-split scan across the session's cores (guide §2.5
+    * input skew): a small single-file corpus arrives as ONE scan partition,
+    * which serializes every downstream sketch UDF, band join and pair
+    * verify into a single task. Only fires when the scan genuinely
+    * under-splits (same guard as the engine's parse spread) — at real scale
+    * the scan already fans out and this is a no-op, never a corpus shuffle.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    if (df.rdd.getNumPartitions < sc.defaultParallelism)
+      df.repartition(sc.defaultParallelism) else df
+  }
+
+  /** Identity barrier marked non-deterministic (guide §4.4, applied to a
+    * derived column instead of a UDF): a threshold filter on an expensive
+    * derived value (set intersection, cosine) is otherwise pushed into the
+    * preceding join's condition, where Catalyst evaluates the whole
+    * expression a SECOND time for the projected output (plan evidence in
+    * plans/r06: `Join condition: (round(size(array_intersect(...)) ...) >=
+    * 0.3)` above a Project recomputing the same). Wrapping the filtered
+    * attribute in this no-op keeps the predicate above the projection —
+    * single evaluation, identical rows.
+    */
+  private[operators] val evalOnce =
+    udf((x: java.lang.Double) => x).asNondeterministic()
+
   /** Rows the last capped [[ngramJaccard]] call dropped on this JVM — test
     * and diagnostic instrumentation for the hot-block cap (-1 until a
     * capped call runs).
@@ -93,42 +119,83 @@ object Dedup {
                  shingleSize: Int = 2, threshold: Double = 0.5,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // localCheckpoint: the signature projection feeds both sides of the band
-    // self-join; plain cache() can miss on plan-match after column pruning and
-    // Catalyst then re-evaluates the (interpreted) lambda tree per side
-    val sigs = minhashSignatures(docs, numHashes, shingleSize, idCol, textCol)
-      .localCheckpoint()
-    // band key: mulModM61-fold of the band's signature values (compiled UDF —
-    // the 122-bit products don't fit Spark's long expressions; DuckDB's twin
-    // computes the identical fold in HUGEINT)
+    // band keys computed INSIDE the same UDF pass as the signature minima
+    // (guide §1.2 order: one pass over the corpus instead of three — the
+    // split formulation checkpointed signatures AND token sets separately,
+    // re-reading docs for each). The per-band mulModM61 fold is unchanged;
+    // the token SET for the exact-Jaccard verify rides the same projection,
+    // so ONE localCheckpoint feeds the band self-join (both sides) and both
+    // verify joins. localCheckpoint (not cache): plan-match caching can miss
+    // after column pruning and re-evaluate the compiled-UDF tree per side.
+    val nh = numHashes
+    val ss = shingleSize
     val rpb = rowsPerBand
-    val bandUdf = udf((sig: Seq[Long]) => Array.tabulate(bands) { b =>
-      var acc = 0L
-      var r = 0
-      while (r < rpb) {
-        acc = SqlHash.modM61(SqlHash.mulModM61(acc, SqlHash.C2) + sig(b * rpb + r))
-        r += 1
+    val nb = bands
+    val aj = Array.tabulate(nh)(j => SqlHash.mulModM61(2L * j + 1, SqlHash.C2))
+    val bj = Array.tabulate(nh)(j => SqlHash.mulModM61(j + 1L, SqlHash.C3))
+    val bandUdf = udf((text: String) => {
+      val toks = text.toLowerCase.split(" ")
+      val n = math.max(toks.length - ss + 1, 1)
+      val sig = Array.fill(nh)(Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        val shingle =
+          if (ss <= 1) toks(i)
+          else toks.slice(i, math.min(i + ss, toks.length)).mkString(" ")
+        val base = SqlHash.hashToken(shingle)
+        var j = 0
+        while (j < nh) {
+          val h = SqlHash.modM61(SqlHash.mulModM61(aj(j), base) + bj(j))
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+        i += 1
       }
-      acc
+      Array.tabulate(nb) { b =>
+        var acc = 0L
+        var r = 0
+        while (r < rpb) {
+          acc = SqlHash.modM61(SqlHash.mulModM61(acc, SqlHash.C2) + sig(b * rpb + r))
+          r += 1
+        }
+        acc
+      }
     })
-    val banded = sigs.select(col(idCol),
-      posexplode(bandUdf(col("minhash"))).as(Seq("band", "band_hash")))
+    val base = spread(docs).select(col(idCol),
+      bandUdf(col(textCol)).as("bands"),
+      array_distinct(tokensCol(col(textCol))).as("tok")).localCheckpoint()
+    val banded = base.select(col(idCol),
+      posexplode(col("bands")).as(Seq("band", "band_hash")))
     // candidate pairs: same (band, band_hash); dedup pairs across bands
     val l = banded.select(col("band"), col("band_hash"), col(idCol).as("id_a"))
     val r = banded.select(col("band"), col("band_hash"), col(idCol).as("id_b"))
     val cands = l.join(r, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    // verify: exact Jaccard over token SETS
-    val tok = docs.select(col(idCol),
-      array_distinct(tokensCol(col(textCol))).as("tok")).localCheckpoint()
-    cands
-      .join(tok.select(col(idCol).as("id_a"), col("tok").as("tok_a")), Seq("id_a"))
-      .join(tok.select(col(idCol).as("id_b"), col("tok").as("tok_b")), Seq("id_b"))
+    // verify: exact Jaccard over token SETS. |A∪B| is DERIVED as
+    // |A| + |B| − |A∩B| (token arrays are distinct by construction), so the
+    // per-pair set work is ONE array_intersect instead of intersect + union
+    // — array_union built a hash set over both arrays per pair, and the
+    // threshold filter lands in the join condition where Catalyst evaluates
+    // the whole expression a second time for the projected value (plan
+    // evidence in plans/r06). Integer arithmetic → bit-identical jaccard.
+    val tok = base.select(col(idCol), col("tok"), size(col("tok")).as("ntok"))
+    // explicit fan-out for the verify stream: AQE coalesces the (tiny-byte)
+    // candidate exchange to ~1 partition, serializing every per-pair
+    // intersection into one task; the pair ids are a few bytes/row, so the
+    // extra exchange is noise while the intersect pass gains the full core
+    // count (guide §2.5 — compute-heavy rows need partitions sized by CPU,
+    // not bytes)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    cands.repartition(par)
+      .join(tok.select(col(idCol).as("id_a"), col("tok").as("tok_a"),
+        col("ntok").as("n_a")), Seq("id_a"))
+      .join(tok.select(col(idCol).as("id_b"), col("tok").as("tok_b"),
+        col("ntok").as("n_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("tok_a"), col("tok_b"))))
       .withColumn("jaccard", round(
-        size(array_intersect(col("tok_a"), col("tok_b"))).cast("double") /
-          size(array_union(col("tok_a"), col("tok_b"))), 4))
-      .filter(col("jaccard") >= threshold)
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 4))
+      .filter(evalOnce(col("jaccard")) >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
@@ -214,14 +281,19 @@ object Dedup {
                    idCol: String = "doc_id", textCol: String = "text",
                    blockCol: String = "source",
                    maxBlock: Option[Int] = None): DataFrame = {
-    val tok = docs.select(col(idCol), col(blockCol).as("block"),
-      length(col(textCol)).as("len"),
-      array_distinct(tokensCol(col(textCol))).as("tok")).localCheckpoint()
-    val banded0 = tok.select(col(idCol), col("block"), col("tok"), posexplode(
-      array((col("len") / 64).cast("int"),
-        ((col("len") + 32) / 64).cast("int"))).as(Seq("band", "len_band")))
+    // ONE materialization feeds the drop-count job and both self-join sides
+    // (guide §1.2): the split formulation checkpointed the tokenized docs AND
+    // the ranked banding separately — the token pass ran twice. Banding
+    // happens inline; only the post-window (capped) or post-explode
+    // (uncapped) frame is checkpointed.
+    val banded0 = spread(docs).select(col(idCol), col(blockCol).as("block"),
+      array_distinct(tokensCol(col(textCol))).as("tok"),
+      posexplode(array((length(col(textCol)) / 64).cast("int"),
+        ((length(col(textCol)) + 32) / 64).cast("int")))
+        .as(Seq("band", "len_band")))
+      .withColumn("ntok", size(col("tok")))
     val banded = maxBlock match {
-      case None => banded0
+      case None => banded0.localCheckpoint()
       case Some(cap) =>
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("block"), col("band"), col("len_band"))
@@ -236,15 +308,22 @@ object Dedup {
         ranked.filter(col("rn") <= cap).drop("rn")
     }
     val l = banded.select(col("block"), col("band"), col("len_band"),
-      col(idCol).as("id_a"), col("tok").as("tok_a"))
+      col(idCol).as("id_a"), col("tok").as("tok_a"), col("ntok").as("n_a"))
     val r = banded.select(col("block"), col("band"), col("len_band"),
-      col(idCol).as("id_b"), col("tok").as("tok_b"))
-    l.join(r, Seq("block", "band", "len_band"))
+      col(idCol).as("id_b"), col("tok").as("tok_b"), col("ntok").as("n_b"))
+    // |A∪B| derived as |A| + |B| − |A∩B| (arrays distinct by construction):
+    // one array_intersect per pair instead of intersect + union — see the
+    // minhashLsh verify note; bit-identical jaccard.
+    // stream side re-spread after the checkpoint: the capped window's
+    // exchange is AQE-coalesced to ~1 partition (tiny bytes), which would
+    // serialize the per-pair intersections — same rationale as minhashLsh
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    l.repartition(par).join(r, Seq("block", "band", "len_band"))
       .filter(col("id_a") < col("id_b"))
+      .withColumn("inter", size(array_intersect(col("tok_a"), col("tok_b"))))
       .withColumn("jaccard", round(
-        size(array_intersect(col("tok_a"), col("tok_b"))).cast("double") /
-          size(array_union(col("tok_a"), col("tok_b"))), 4))
-      .filter(col("jaccard") >= threshold)
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 4))
+      .filter(evalOnce(col("jaccard")) >= threshold)
       // a pair can match on both bands: dedup on the (small) output columns,
       // not on the token arrays
       .select(col("id_a"), col("id_b"), col("jaccard")).distinct()

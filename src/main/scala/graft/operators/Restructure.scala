@@ -254,50 +254,58 @@ object Restructure {
     import spark.implicits._
     metadata(questions)
       .select(col("subject"), col("year"), col("spider_stats"))
-      .map { r =>
-        val subject = r.getAs[String]("subject")
-        val year = r.getAs[Int]("year")
-        val stats = r.getAs[org.apache.spark.sql.Row]("spider_stats")
-        def longOr0(row: org.apache.spark.sql.Row, name: String): Long = {
-          val i = row.fieldIndex(name)
-          if (row.isNullAt(i)) 0L else row.getLong(i)
-        }
-        val total = stats.getAs[Long]("total_questions")
-        val diag = stats.getAs[org.apache.spark.sql.Row]("questions_with_diagrams")
-        val ids = stats.getAs[org.apache.spark.sql.Row]("image_download_stats")
-        val expected = ids.getAs[Long]("total_images_expected")
-        val downloaded = ids.getAs[Long]("downloaded_images_count")
-        val failed = ids.getAs[Long]("failed_downloads")
-        val rate = if (expected > 0) downloaded.toDouble / expected * 100 else 0.0
-        val images: scala.collection.Seq[org.apache.spark.sql.Row] =
-          Option(ids.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](
-            "downloaded_image_map")).getOrElse(scala.collection.Seq.empty)
-        val lines = scala.collection.mutable.ArrayBuffer.empty[String]
-        lines += s"Image Download Report for ${PyText.pyTitle(subject.replace('_', ' '))} $year"
-        lines += "Generated on: Wednesday, January 01, 2025 00:00:00"
-        lines += "\nSummary:"
-        lines += s"  Total Questions: $total"
-        lines += "  Questions with Images:"
-        lines += s"    Objective Questions: ${longOr0(diag, "objectives")}"
-        lines += s"    Theory Questions: ${longOr0(diag, "theory")}"
-        lines += s"  Total Images Expected: $expected"
-        lines += s"  Successfully Downloaded: $downloaded"
-        lines += s"  Failed Downloads: $failed"
-        lines += f"  Success Rate: $rate%.2f%%"
-        lines += "  Images are organized in:"
-        lines += "    images/objective/"
-        lines += "    images/theory/"
-        lines += "\nDownloaded Images:"
-        images.foreach { im =>
-          lines += s"  Downloaded: ${im.getAs[String]("image_url")} -> ${im.getAs[String]("local_path")}"
-        }
-        if (failed > 0) {
-          lines += "\nFailed Downloads (Expected but not found locally):"
-          lines += s"  $failed images failed to download or were not found."
-          lines += "  (Detailed list of failed downloads not available in metadata for this version.)"
-        }
-        (subject, year, lines.mkString("\n"))
-      }.toDF("subject", "year", "report")
+      .map(r => (r.getAs[String]("subject"), r.getAs[Int]("year"),
+        reportText(r.getAs[String]("subject"), r.getAs[Int]("year"),
+          r.getAs[org.apache.spark.sql.Row]("spider_stats"))))
+      .toDF("subject", "year", "report")
+  }
+
+  /** The report body for one batch, from its metadata `spider_stats` row —
+    * shared by [[reports]] (the Dataset form) and BatchSink's writer (which
+    * renders it driver-side from the ALREADY-collected metadata rows instead
+    * of running a second metadata job per batch tree).
+    */
+  private[operators] def reportText(subject: String, year: Int,
+                                    stats: org.apache.spark.sql.Row): String = {
+    def longOr0(row: org.apache.spark.sql.Row, name: String): Long = {
+      val i = row.fieldIndex(name)
+      if (row.isNullAt(i)) 0L else row.getLong(i)
+    }
+    val total = stats.getAs[Long]("total_questions")
+    val diag = stats.getAs[org.apache.spark.sql.Row]("questions_with_diagrams")
+    val ids = stats.getAs[org.apache.spark.sql.Row]("image_download_stats")
+    val expected = ids.getAs[Long]("total_images_expected")
+    val downloaded = ids.getAs[Long]("downloaded_images_count")
+    val failed = ids.getAs[Long]("failed_downloads")
+    val rate = if (expected > 0) downloaded.toDouble / expected * 100 else 0.0
+    val images: scala.collection.Seq[org.apache.spark.sql.Row] =
+      Option(ids.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](
+        "downloaded_image_map")).getOrElse(scala.collection.Seq.empty)
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    lines += s"Image Download Report for ${PyText.pyTitle(subject.replace('_', ' '))} $year"
+    lines += "Generated on: Wednesday, January 01, 2025 00:00:00"
+    lines += "\nSummary:"
+    lines += s"  Total Questions: $total"
+    lines += "  Questions with Images:"
+    lines += s"    Objective Questions: ${longOr0(diag, "objectives")}"
+    lines += s"    Theory Questions: ${longOr0(diag, "theory")}"
+    lines += s"  Total Images Expected: $expected"
+    lines += s"  Successfully Downloaded: $downloaded"
+    lines += s"  Failed Downloads: $failed"
+    lines += f"  Success Rate: $rate%.2f%%"
+    lines += "  Images are organized in:"
+    lines += "    images/objective/"
+    lines += "    images/theory/"
+    lines += "\nDownloaded Images:"
+    images.foreach { im =>
+      lines += s"  Downloaded: ${im.getAs[String]("image_url")} -> ${im.getAs[String]("local_path")}"
+    }
+    if (failed > 0) {
+      lines += "\nFailed Downloads (Expected but not found locally):"
+      lines += s"  $failed images failed to download or were not found."
+      lines += "  (Detailed list of failed downloads not available in metadata for this version.)"
+    }
+    lines.mkString("\n")
   }
 
   /** J2 (update_all_metadata.py:96-133): classify each batch given its

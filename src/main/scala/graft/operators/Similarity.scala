@@ -25,6 +25,19 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.CosineSimilarity.cosineSim(a, b)
 
+  /** Spread an under-split scan across the session's cores (guide §2.5):
+    * a small single-file embeddings table arrives as ONE scan partition,
+    * which would serialize the streaming side of every bucket join — and
+    * with it all the per-pair cosine evaluations — into a single task.
+    * Guarded like the engine's parse spread: a no-op whenever the scan
+    * already fans out (the real-scale case), never a corpus shuffle.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    if (df.rdd.getNumPartitions < sc.defaultParallelism)
+      df.repartition(sc.defaultParallelism) else df
+  }
+
   /** Interpreted built-ins formulation (aggregate ∘ zip_with) — kept as the
     * semantic cross-check for CosineSimilaritySpec; measurably slower
     * (per-element interpreted lambda steps).
@@ -113,6 +126,48 @@ object Similarity {
     probeUdf(vec)
   }
 
+  /** ALL-tables base buckets in one UDF pass: array of (table, bucket).
+    * The per-table [[lshBucket]] formulation joined table-by-table — nTables
+    * scans of each side, nTables broadcasts, an nTables-way union (the m4
+    * plan carried 8 parquet scans). Emitting (table, bucket) pairs from one
+    * projection makes the table id part of the JOIN KEY, so one join over
+    * one exchange computes the identical union-of-tables candidate set
+    * (guide §2.4: remove shuffles outright).
+    */
+  private def lshBucketsAllTables(vec: Column, nTables: Int, nPlanes: Int,
+                                  dims: Int): Column = {
+    val planes: Array[Array[Array[Double]]] =
+      Array.tabulate(nTables, nPlanes, dims)((t, p, d) => hpComponent(t, p, d))
+    val u = udf((v: Seq[Float]) =>
+      planes.indices.map(t => (t, bucketOf(planes(t), v))))
+    u(vec)
+  }
+
+  /** ALL-tables multi-probe buckets in one UDF pass: array of
+    * (table, bucket) covering [[lshProbeBuckets]] for every table.
+    */
+  private def lshProbesAllTables(vec: Column, nTables: Int, nPlanes: Int,
+                                 dims: Int, flips: Int): Column = {
+    val planes: Array[Array[Array[Double]]] =
+      Array.tabulate(nTables, nPlanes, dims)((t, p, d) => hpComponent(t, p, d))
+    val np = nPlanes
+    val f = flips
+    val u = udf((v: Seq[Float]) => {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+      var t = 0
+      while (t < planes.length) {
+        val base = bucketOf(planes(t), v)
+        out += ((t, base))
+        if (f >= 1) (0 until np).foreach(p => out += ((t, base ^ (1L << p))))
+        if (f >= 2) for (p <- 0 until np; q <- (p + 1) until np)
+          out += ((t, base ^ (1L << p) ^ (1L << q)))
+        t += 1
+      }
+      out.toSeq
+    })
+    u(vec)
+  }
+
   /** Approximate top-k: corpus bucketed once per LSH table, queries
     * MULTI-PROBE their bucket neighborhood ([[lshProbeBuckets]]); exact
     * cosine within probed buckets, best-of across tables.
@@ -129,17 +184,23 @@ object Similarity {
               nPlanes: Int = 8, dims: Int = 64,
               idCol: String = "vec_id", vecCol: String = "embedding",
               probeFlips: Int = 1): DataFrame = {
-    val tables = (0 until nTables).map { tbl =>
-      val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        explode(lshProbeBuckets(col(vecCol), tbl, nPlanes, dims, probeFlips))
-          .as("bucket"))
-      val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-        lshBucket(col(vecCol), tbl, nPlanes, dims).as("bucket"))
-      c.join(broadcast(q), Seq("bucket"))
-        .withColumn("cos", round(cosine(col("qv"), col("cv")), 4))
-        .select(col("query_id"), col("neighbor_id"), col("cos"))
-    }
-    val all = tables.reduce(_ unionByName _).distinct()
+    // one join on (table, bucket) — see lshBucketsAllTables: the table id is
+    // part of the join key, so the union-over-tables candidate set costs one
+    // corpus scan + one broadcast instead of nTables of each
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(lshProbesAllTables(col(vecCol), nTables, nPlanes, dims, probeFlips))
+        .as("tb"))
+      .select(col("query_id"), col("qv"),
+        col("tb._1").as("t"), col("tb._2").as("bucket"))
+    val c = spread(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        explode(lshBucketsAllTables(col(vecCol), nTables, nPlanes, dims)).as("tb"))
+      .select(col("neighbor_id"), col("cv"),
+        col("tb._1").as("t"), col("tb._2").as("bucket"))
+    val all = c.join(broadcast(q), Seq("t", "bucket"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 4))
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+      .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     all.withColumn("rnk", row_number().over(w))
@@ -190,7 +251,7 @@ object Similarity {
     val assignUdf = udf((v: Seq[Float]) => topCells(v, ca))
     val np = nProbe
     val probeUdf = udf((v: Seq[Float]) => topCells(v, np))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+    val c = spread(corpus).select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       explode(assignUdf(col(vecCol))).as("cell"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       explode(probeUdf(col(vecCol))).as("cell"))
@@ -215,22 +276,34 @@ object Similarity {
                        nPlanes: Int = 8, dims: Int = 64,
                        idCol: String = "vec_id", vecCol: String = "embedding",
                        probeFlips: Int = 1): DataFrame = {
-    val tables = (0 until nTables).map { tbl =>
-      // one side multi-probes, the other keeps its base bucket: a pair within
-      // `probeFlips` hamming of each other's buckets meets regardless of
-      // which id is smaller (the flip relation is symmetric)
-      val l = vecs.select(col(idCol).as("id_a"), col(vecCol).as("va"),
-        explode(lshProbeBuckets(col(vecCol), tbl, nPlanes, dims, probeFlips))
-          .as("block"))
-      val r = vecs.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
-        lshBucket(col(vecCol), tbl, nPlanes, dims).as("block"))
-      l.join(r, Seq("block"))
-        .filter(col("id_a") < col("id_b"))
-        .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
-        .filter(col("cos") >= threshold)
-        .select(col("id_a"), col("id_b"), col("cos"))
-    }
-    tables.reduce(_ unionByName _).distinct()
+    // one side multi-probes, the other keeps its base bucket: a pair within
+    // `probeFlips` hamming of each other's buckets meets regardless of
+    // which id is smaller (the flip relation is symmetric). One join on
+    // (table, block) — see lshBucketsAllTables — replaces the per-table
+    // join + nTables-way union (identical candidate set, 1/nTables the
+    // scans and exchanges).
+    val l = spread(vecs)
+      .select(col(idCol).as("id_a"), col(vecCol).as("va"),
+        explode(lshProbesAllTables(col(vecCol), nTables, nPlanes, dims, probeFlips))
+          .as("tb"))
+      .select(col("id_a"), col("va"),
+        col("tb._1").as("t"), col("tb._2").as("block"))
+    val r = vecs.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      explode(lshBucketsAllTables(col(vecCol), nTables, nPlanes, dims)).as("tb"))
+      .select(col("id_b"), col("vb"),
+        col("tb._1").as("t"), col("tb._2").as("block"))
+    l.join(r, Seq("t", "block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      // NOTE the threshold predicate is pushed into the join condition and
+      // the cosine then runs twice per candidate pair (condition + projected
+      // value). For the ~2 μs set intersections in Dedup the evalOnce
+      // barrier pays for itself; here the fused 64-float cosine is cheaper
+      // than the boxed barrier call per row (measured +0.2 s with the
+      // barrier on the bench corpus), so double-eval is the better trade.
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .distinct()
   }
 
   /** Embedding-cosine near-duplicate pairs, blocked by a label/cluster column
