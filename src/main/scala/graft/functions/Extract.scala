@@ -26,9 +26,33 @@ object Extract {
     "OH -" -> "OH-", "CO 3 2-" -> "CO32-", "SO 4 2-" -> "SO42-",
     "NO 3 -" -> "NO3-", "Cl -" -> "Cl-", "Na +1" -> "Na+1", "Na + " -> "Na+")
 
+  /** Exact no-op precheck for [[fixChemicalFormulas]]: every one of the
+    * three regexes and the eleven literal replacements can only fire on a
+    * '+' or '-' whose PRECEDING char is a digit or whitespace (chem1: sign
+    * after `\d+\s*`; chem2/chem3: sign after `\s+`/`\s*`; every literal has
+    * ' ' or a digit before its sign). One char scan instead of three regex
+    * passes + eleven literal scans on the ~95% of texts with no such sign —
+    * this function runs on EVERY extracted text (clean_text), the parse
+    * hot path.
+    */
+  private def maybeChem(s: String): Boolean = {
+    var i = 1
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '+' || c == '-') {
+        val p = s.charAt(i - 1)
+        if ((p >= '0' && p <= '9') || PyText.isPySpace(p)) return true
+      }
+      i += 1
+    }
+    false
+  }
+
   /** `fix_chemical_formulas(text)` — core/main.py:28-63. */
   def fixChemicalFormulas(text: String): String = {
     if (text == null || text.isEmpty) return text
+    if (!maybeChem(text)) return text
     var t = chem1.matcher(text).replaceAll("$1$2$3")
     t = chem2.matcher(t).replaceAll("$1$2")
     t = chem3.matcher(t).replaceAll("$1$2$3")

@@ -114,10 +114,24 @@ object QuestionParser {
 
   // --- mcq parsing ------------------------------------------------------------
 
+  /** Manual twin of `replaceFirst` on `^<num>\.?\s*` — the reference strips
+    * the question-number prefix with a per-question regex; compiling that
+    * Pattern per question was a measurable parse-path cost. Semantics are
+    * exactly the regex's: literal digits, at most one '.', then Java `\s*`.
+    */
+  private def stripNumPrefix(s: String, questionNum: Int): String = {
+    val ns = Integer.toString(questionNum)
+    if (!s.startsWith(ns)) return s
+    var i = ns.length
+    if (i < s.length && s.charAt(i) == '.') i += 1
+    while (i < s.length && { val c = s.charAt(i)
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r' }) i += 1
+    s.substring(i)
+  }
+
   /** `extract_question_stem` — core/main.py:207-219. */
   def extractQuestionStem(questionPart: String, questionNum: Int): String = {
-    val numStrip = Pattern.compile("^" + questionNum + "\\.?\\s*")
-    val text = numStrip.matcher(questionPart).replaceFirst("")
+    val text = stripNumPrefix(questionPart, questionNum)
     val (head, _, _) = PyText.split1(optionSplit, text)
     wsRun.matcher(PyText.pyStrip(head)).replaceAll(" ")
   }
@@ -126,20 +140,31 @@ object QuestionParser {
     * first-non-empty-wins per letter.
     */
   def extractOptions(text: String): Options = {
-    val acc = scala.collection.mutable.Map("A" -> "", "B" -> "", "C" -> "", "D" -> "")
-    optPatterns.foreach { p =>
-      val m = p.matcher(text)
-      while (m.find()) {
-        val letter = m.group(1)
-        var opt = PyText.pyStrip(m.group(2))
-        opt = wsRun.matcher(opt).replaceAll(" ")
-        opt = trailingDot.matcher(opt).replaceAll("")
-        opt = bullet.matcher(opt).replaceAll("")
-        if (acc.contains(letter) && opt.nonEmpty && acc(letter).isEmpty)
-          acc(letter) = opt
+    // first-non-empty-wins per letter, exactly as the reference — which
+    // means once all four letters are filled no later match can change
+    // anything: short-circuit the remaining patterns/matches instead of
+    // running the backtracking-heavy fallback patterns to discard their
+    // results (pattern 3's lazy-quantifier + lookahead scan dominated the
+    // parse profile). The per-match strip/collapse transforms also run only
+    // when the letter is still open (they were computed-then-discarded).
+    val acc = Array("", "", "", "")
+    var filled = 0
+    var pi = 0
+    while (pi < optPatterns.length && filled < 4) {
+      val m = optPatterns(pi).matcher(text)
+      while (filled < 4 && m.find()) {
+        val idx = m.group(1).charAt(0) - 'A'
+        if (acc(idx).isEmpty) {
+          var opt = PyText.pyStrip(m.group(2))
+          opt = wsRun.matcher(opt).replaceAll(" ")
+          opt = trailingDot.matcher(opt).replaceAll("")
+          opt = bullet.matcher(opt).replaceAll("")
+          if (opt.nonEmpty) { acc(idx) = opt; filled += 1 }
+        }
       }
+      pi += 1
     }
-    Options(acc("A"), acc("B"), acc("C"), acc("D"))
+    Options(acc(0), acc(1), acc(2), acc(3))
   }
 
   /** `clean_solution_text` — core/main.py:293-304. */
@@ -246,8 +271,7 @@ object QuestionParser {
 
   /** `parse_theory_structure_improved` — core/main.py:460-492. */
   def parseTheoryStructure(questionPart: String, questionNum: Int): (String, Seq[Subpart]) = {
-    val numStrip = Pattern.compile("^" + questionNum + "\\.?\\s*")
-    val content = numStrip.matcher(questionPart).replaceFirst("")
+    val content = stripNumPrefix(questionPart, questionNum)
     val mainParts = PyText.splitWithCaptures(mainPartSplit, content)
     if (mainParts.length < 3) return (PyText.pyStrip(content), Seq.empty)
     val mainQuestion = PyText.pyStrip(mainParts(0))
@@ -269,11 +293,17 @@ object QuestionParser {
   /** `integrate_theory_solutions` — core/main.py:515-529: per-letter lazy
     * regex lookup into the solution text.
     */
+  // the per-letter solution patterns are a 4-element space ('a'..'d') —
+  // precompiled once instead of a Pattern.compile per subpart per question
+  private val solutionByLetter: Map[String, Pattern] =
+    Seq("a", "b", "c", "d").map(l => l -> Pattern.compile(
+      "\\(" + l + "\\)(.*?)(?=\\([a-d]\\)|$)", Pattern.DOTALL)).toMap
+
   def integrateTheorySolutions(subparts: Seq[Subpart], solutionPart: String): Seq[Subpart] =
     subparts.map { sp =>
       val letter = sp.part.stripPrefix("(").stripSuffix(")")
-      val p = Pattern.compile(
-        "\\(" + letter + "\\)(.*?)(?=\\([a-d]\\)|$)", Pattern.DOTALL)
+      val p = solutionByLetter.getOrElse(letter, Pattern.compile(
+        "\\(" + letter + "\\)(.*?)(?=\\([a-d]\\)|$)", Pattern.DOTALL))
       val m = p.matcher(solutionPart)
       if (m.find()) sp.copy(solution = PyText.pyStrip(m.group(1))) else sp
     }

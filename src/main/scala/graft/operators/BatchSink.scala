@@ -137,10 +137,23 @@ object BatchSink {
       k -> Restructure.reportText(k._1, k._2, m.getAs[org.apache.spark.sql.Row]("spider_stats"))
     }
 
-    docs.keys.toSeq.sortBy(identity).map { case (subject, year) =>
+    // per-batch rendering + writes are independent (disjoint dirs): fan them
+    // out on driver threads like the collects above; result order preserved
+    val written = docs.keys.toSeq.sortBy(identity).map { case (subject, year) =>
+      Future(writeOneBatch(outDir, subject, year,
+        docs((subject, year)), metas((subject, year)),
+        reports((subject, year)), flatCols,
+        flatRows.getOrElse((subject, year), Array.empty)))
+    }
+    written.map(Await.result(_, Duration.Inf))
+  }
+
+  private def writeOneBatch(outDir: String, subject: String, year: Int,
+                            doc: Row, meta: Row, report: String,
+                            flatCols: Array[String], rows: Array[Row]): String = {
+    {
       val dir = Paths.get(outDir, s"${subject}_$year")
       Files.createDirectories(dir.resolve("reports"))
-      val doc = docs((subject, year))
 
       // S8: restructured JSON — {objectives: [...], theory: [...], page_screenshot}
       val structured = new StringBuilder("{\n")
@@ -154,7 +167,6 @@ object BatchSink {
         structured.result().getBytes(StandardCharsets.UTF_8))
 
       // S9: flattened CSV with the reference's header order
-      val rows = flatRows.getOrElse((subject, year), Array.empty)
       val csv = new StringBuilder(flatCols.map(csvQuote).mkString(",") + "\r\n")
       rows.foreach { r =>
         csv ++= flatCols.map { c =>
@@ -167,13 +179,13 @@ object BatchSink {
 
       // S10: metadata JSON (year as a JSON string — see jsonRow overrides)
       Files.write(dir.resolve(s"${subject}_${year}_metadata.json"),
-        jsonRow(metas((subject, year)), 0,
+        jsonRow(meta, 0,
           overrides = Map("year" -> Json.str(year.toString)))
           .getBytes(StandardCharsets.UTF_8))
 
       // S11: report text
       Files.write(dir.resolve("reports").resolve(s"${subject}_${year}_image_download_report.txt"),
-        reports((subject, year)).getBytes(StandardCharsets.UTF_8))
+        report.getBytes(StandardCharsets.UTF_8))
 
       dir.toString
     }
@@ -236,8 +248,13 @@ object BatchSink {
     val rows = questions
       .orderBy(col("seed_subject"), col("seed_year"), col("url"), col("pos"))
       .collect() // reference batch sizes: small by construction (header note)
+    // per-batch item rendering + writes are independent (disjoint files):
+    // fan out on driver threads, order preserved (see writeBatchOutputs)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
     rows.groupBy(r => (r.getAs[String]("seed_subject"), r.getAs[Int]("seed_year")))
-      .toSeq.sortBy(_._1).map { case ((subject, year), rs) =>
+      .toSeq.sortBy(_._1).map { case ((subject, year), rs) => Future {
         val items = rs.map(itemOf).toSeq
         val jsonP = Paths.get(outDir, s"temp_${subject}_$year.json")
         Files.write(jsonP,
@@ -258,7 +275,7 @@ object BatchSink {
         val csvP = Paths.get(outDir, s"temp_${subject}_$year.csv")
         Files.write(csvP, csv.result().getBytes(StandardCharsets.UTF_8))
         (jsonP.toString, csvP.toString)
-      }
+      }}.map(Await.result(_, Duration.Inf))
   }
 
   /** S7: scan a raw temp feed back (restructure_questions.py:50-51 —

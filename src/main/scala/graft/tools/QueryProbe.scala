@@ -256,6 +256,35 @@ object QueryProbe {
           java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
             .forEach(x => java.nio.file.Files.deleteIfExists(x))
         }
+      case "parse" =>
+        // pure parser timing, no Spark in the loop: render the sf corpus
+        // driver-side once (untimed), then time parsePage over it
+        val rows = docs.select("doc_id", "text").collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+        val pages: Array[Array[Byte]] = rows.map { case (id, text) =>
+          graft.sources.PagesGen.renderPage(id, text)._1
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        }
+        var nq = 0L
+        (1 to 2).foreach { _ => // JIT warmup
+          pages.foreach(p => nq += graft.functions.QuestionParser.parsePage(p).questions.size)
+        }
+        time(s"parse.${pages.length}pages-1thread") {
+          var q = 0L
+          pages.foreach(p => q += graft.functions.QuestionParser.parsePage(p).questions.size)
+          q
+        }
+        val strs = pages.map(new String(_, java.nio.charset.StandardCharsets.UTF_8))
+        time("parse.htmlOnly") {
+          var k = 0L
+          strs.foreach(s => k += graft.util.Html.parse(s).children.size)
+          k
+        }
+        time("parse.pageText") {
+          var k = 0L
+          strs.foreach(s => k += graft.functions.Extract.pageText(s).length)
+          k
+        }
       case other => sys.error(s"unknown probe $other")
     }
     spark.stop()

@@ -22,8 +22,29 @@ final case class HElem(tag: String, attrs: Map[String, String],
 
   def attr(name: String): Option[String] = attrs.get(name)
 
-  def hasClass(c: String): Boolean =
-    attrs.get("class").exists(_.split("\\s+").contains(c))
+  /** Whitespace-token containment, allocation-free. The round-5 form
+    * (`split("\\s+").contains(c)`) compiled a regex AND allocated a token
+    * array on EVERY call — and this predicate runs on every element of the
+    * section/anchor walks, the parse hot path. Token boundaries are Java's
+    * `\s` class, exactly what the split matched.
+    */
+  def hasClass(c: String): Boolean = attrs.get("class") match {
+    case None => false
+    case Some(v) =>
+      def isJs(ch: Char): Boolean = ch == ' ' || ch == '\t' || ch == '\n' ||
+        ch == '\u000B' || ch == '\f' || ch == '\r'
+      val n = v.length
+      val m = c.length
+      var i = 0
+      while (i < n) {
+        while (i < n && isJs(v.charAt(i))) i += 1
+        var j = i
+        while (j < n && !isJs(v.charAt(j))) j += 1
+        if (j - i == m && v.regionMatches(i, c, 0, m)) return true
+        i = j
+      }
+      false
+  }
 
   /** All descendant element nodes, document order (self excluded). */
   def descendants: Iterator[HElem] = children.iterator.flatMap {
