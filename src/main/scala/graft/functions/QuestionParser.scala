@@ -46,14 +46,10 @@ object QuestionParser {
   private val markOrSolution = Pattern.compile("\\s+(?:Mark|Solution)\\s+")
   private val showSolution = Pattern.compile("\\s+Show Solution\\s+")
   private val optionSplit = Pattern.compile("\\s+[A-D]\\.\\s+")
-  private val wsRun = Pattern.compile("\\s+")
-  private val trailingDot = Pattern.compile("\\.$")
-  private val bullet = Pattern.compile("^\\s*[-•]\\s*")
+  private val trailingDot = Pattern.compile("\\.$") // stripTrailingDot's terminator fallback
   private val anyLetter = Pattern.compile("([A-D])")
   private val mainPartSplit = Pattern.compile("\\s*\\(([a-d])\\)\\s*")
   private val subPartSplit = Pattern.compile("\\s*\\(([ivx]+|[a-z])\\)\\s*")
-  private val solutionPrefix =
-    Pattern.compile("^solution\\s*", Pattern.CASE_INSENSITIVE)
   // extract_options_from_text patterns, core/main.py:226-233 (MULTILINE and
   // DOTALL are set in the reference; text is single-line post-clean but the
   // flags are kept for fidelity).
@@ -72,6 +68,73 @@ object QuestionParser {
   private val adImagePatterns = Seq("banner", "ad", "sponsor", "promo")
 
   import Extract.{cleanText, fullText}
+
+  // --- allocation-free twins of the per-question regex transforms ----------
+  // Each replaces a precompiled-Pattern replaceAll/replaceFirst that ran per
+  // extracted option/stem/solution (3 Matcher allocations + regex scans per
+  // option): semantics are EXACTLY the pattern's, noted per function, and the
+  // whole family is gated by the CPython byte-parity oracle + c2/r2 oracles.
+
+  /** Java `c \in \s` — Pattern `\s` without UNICODE_CHARACTER_CLASS is the
+    * ASCII set [ \t\n\x0B\f\r] only.
+    */
+  private[graft] def isJavaWs(c: Char): Boolean =
+    c == ' ' || (c >= 0x09 && c <= 0x0d)
+
+  /** Exact twin of `wsRun.matcher(s).replaceAll(" ")` (`\s+` → " ", Java
+    * ASCII `\s`): each maximal run of Java-ws chars becomes one ' '. No-op
+    * fast path returns `s` unshared — post-cleanText inputs hold only
+    * solitary ' ' chars, so the replace was a pure realloc almost always.
+    */
+  private[graft] def collapseJavaWs(s: String): String = {
+    val n = s.length
+    var k = 0
+    var dirty = false
+    while (k < n && !dirty) {
+      val c = s.charAt(k)
+      if (c == ' ') { if (k + 1 < n && isJavaWs(s.charAt(k + 1))) dirty = true }
+      else if (isJavaWs(c)) dirty = true
+      k += 1
+    }
+    if (!dirty) return s
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (isJavaWs(c)) {
+        sb.append(' ')
+        while (i < n && isJavaWs(s.charAt(i))) i += 1
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Exact twin of `trailingDot.matcher(s).replaceAll("")` (`\.$`, no
+    * MULTILINE). `$` also matches just before one final line terminator, so
+    * inputs holding '\n'/'\r' fall back to the Pattern — unreachable after
+    * collapseJavaWs (which rewrote every terminator to ' '), but exactness
+    * is kept unconditional.
+    */
+  private[graft] def stripTrailingDot(s: String): String = {
+    if (s.indexOf('\n') >= 0 || s.indexOf('\r') >= 0)
+      return trailingDot.matcher(s).replaceAll("")
+    if (s.nonEmpty && s.charAt(s.length - 1) == '.') s.substring(0, s.length - 1)
+    else s
+  }
+
+  /** Exact twin of `bullet.matcher(s).replaceAll("")` (`^\s*[-•]\s*`, no
+    * MULTILINE): `^` only matches at position 0, so at most one replacement —
+    * greedy `\s*` either side of one '-'/'•'.
+    */
+  private[graft] def stripBullet(s: String): String = {
+    val n = s.length
+    var i = 0
+    while (i < n && isJavaWs(s.charAt(i))) i += 1
+    if (i >= n || (s.charAt(i) != '-' && s.charAt(i) != '•')) return s
+    i += 1
+    while (i < n && isJavaWs(s.charAt(i))) i += 1
+    s.substring(i)
+  }
 
   // --- element predicates ---------------------------------------------------
 
@@ -133,7 +196,7 @@ object QuestionParser {
   def extractQuestionStem(questionPart: String, questionNum: Int): String = {
     val text = stripNumPrefix(questionPart, questionNum)
     val (head, _, _) = PyText.split1(optionSplit, text)
-    wsRun.matcher(PyText.pyStrip(head)).replaceAll(" ")
+    collapseJavaWs(PyText.pyStrip(head))
   }
 
   /** `extract_options_from_text` — core/main.py:221-253. Pattern priority +
@@ -156,9 +219,9 @@ object QuestionParser {
         val idx = m.group(1).charAt(0) - 'A'
         if (acc(idx).isEmpty) {
           var opt = PyText.pyStrip(m.group(2))
-          opt = wsRun.matcher(opt).replaceAll(" ")
-          opt = trailingDot.matcher(opt).replaceAll("")
-          opt = bullet.matcher(opt).replaceAll("")
+          opt = collapseJavaWs(opt)
+          opt = stripTrailingDot(opt)
+          opt = stripBullet(opt)
           if (opt.nonEmpty) { acc(idx) = opt; filled += 1 }
         }
       }
@@ -167,10 +230,30 @@ object QuestionParser {
     Options(acc(0), acc(1), acc(2), acc(3))
   }
 
-  /** `clean_solution_text` — core/main.py:293-304. */
+  /** `clean_solution_text` — core/main.py:293-304. Manual twin of the
+    * `^solution\s*` CASE_INSENSITIVE replaceFirst: the flag without
+    * UNICODE_CASE folds ASCII only, so the prefix compare ORs in 0x20 on
+    * A–Z exactly as the Pattern did; then the same Java `\s*` skip.
+    */
   def cleanSolutionText(s: String): String = {
     if (s == null || s.isEmpty) return ""
-    PyText.pyStrip(wsRun.matcher(solutionPrefix.matcher(s).replaceFirst("")).replaceAll(" "))
+    var t = s
+    if (t.length >= 8) {
+      var i = 0
+      var isPrefix = true
+      while (i < 8 && isPrefix) {
+        val c = t.charAt(i)
+        val f = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+        if (f != "solution".charAt(i)) isPrefix = false
+        i += 1
+      }
+      if (isPrefix) {
+        var j = 8
+        while (j < t.length && isJavaWs(t.charAt(j))) j += 1
+        t = t.substring(j)
+      }
+    }
+    PyText.pyStrip(collapseJavaWs(t))
   }
 
   /** `extract_answer_info` — core/main.py:255-291. Returns (answerOrNull,

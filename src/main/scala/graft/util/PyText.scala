@@ -14,15 +14,18 @@ import java.util.regex.{Matcher, Pattern}
   */
 object PyText {
 
-  /** CPython `\s` / `str.isspace` character class (Unicode semantics). */
-  def isPySpace(c: Char): Boolean = c match {
-    case ' ' | '\t' | '\n' | '\r' | '\f' | '\u000b' => true
-    case '\u001c' | '\u001d' | '\u001e' | '\u001f' | '\u0085' => true
-    case _ =>
+  /** CPython `\s` / `str.isspace` character class (Unicode semantics).
+    * ASCII fast path first (exact): `Character.getType` is a table walk and
+    * ran per char of every cleaned text on the parse hot path; no char below
+    * 0x80 is in the Unicode Z categories except ' ' itself.
+    */
+  def isPySpace(c: Char): Boolean =
+    if (c < 0x80) (c >= 0x09 && c <= 0x0d) || c == ' ' || (c >= 0x1c && c <= 0x1f)
+    else c == '\u0085' || {
       val t = Character.getType(c)
       t == Character.SPACE_SEPARATOR || t == Character.LINE_SEPARATOR ||
       t == Character.PARAGRAPH_SEPARATOR
-  }
+    }
 
   /** Python `str.strip()` (no-arg form). */
   def pyStrip(s: String): String = {
@@ -35,6 +38,20 @@ object PyText {
 
   /** Python `re.sub(r"\s+", " ", s)` with Unicode `\s`. */
   def collapseWs(s: String): String = {
+    // no-op fast path: most hot-path inputs (text nodes joined with single
+    // spaces) contain no runs and no non-' ' whitespace — one scan, and the
+    // copy/allocation is skipped entirely. A change is needed only when a
+    // non-' ' py-space occurs, or a ' ' is followed by more py-space.
+    var k = 0
+    val m = s.length
+    var dirty = false
+    while (k < m && !dirty) {
+      val c = s.charAt(k)
+      if (c == ' ') { if (k + 1 < m && isPySpace(s.charAt(k + 1))) dirty = true }
+      else if (isPySpace(c)) dirty = true
+      k += 1
+    }
+    if (!dirty) return s
     val sb = new java.lang.StringBuilder(s.length)
     var i = 0
     val n = s.length
