@@ -41,11 +41,6 @@ final case class ParsedPage(questions: Seq[Question], next: String)
 object QuestionParser {
 
   // --- compiled patterns (CPython `re` → java.util.regex, verified parity) --
-  private val numSearch = Pattern.compile("(\\d+)\\.")
-  private val candidate = Pattern.compile("\\b\\d+\\.\\s+")
-  private val markOrSolution = Pattern.compile("\\s+(?:Mark|Solution)\\s+")
-  private val showSolution = Pattern.compile("\\s+Show Solution\\s+")
-  private val optionSplit = Pattern.compile("\\s+[A-D]\\.\\s+")
   private val trailingDot = Pattern.compile("\\.$") // stripTrailingDot's terminator fallback
   private val anyLetter = Pattern.compile("([A-D])")
   private val mainPartSplit = Pattern.compile("\\s*\\(([a-d])\\)\\s*")
@@ -136,6 +131,273 @@ object QuestionParser {
     s.substring(i)
   }
 
+  /** MULTILINE `$` can also match before a line terminator, so the option
+    * pattern-1 twin only runs on terminator-free inputs (always true after
+    * cleanText, which rewrote every py-space to ' '; the Pattern handles the
+    * rest). The five Java line terminators.
+    */
+  private[graft] def hasLineTerminator(s: String): Boolean = {
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      val ci = c.toInt
+      if (ci == 10 || ci == 13 || ci == 0x85 || ci == 0x2028 || ci == 0x2029)
+        return true
+      i += 1
+    }
+    false
+  }
+
+  private def isOptLetter(c: Char): Boolean = c >= 'A' && c <= 'D'
+
+  /** Lookahead `(?=\s+[A-D]\.|$)` of option pattern 1 at position `e`, on a
+    * terminator-free input ($ ≡ end). `\s+` can only stop at the end of the
+    * ws run (mid-run chars are ws, not [A-D]).
+    */
+  private def p1Lookahead(s: String, e: Int): Boolean = {
+    val n = s.length
+    if (e == n) return true
+    if (!isJavaWs(s.charAt(e))) return false
+    var j = e + 1
+    while (j < n && isJavaWs(s.charAt(j))) j += 1
+    j + 1 < n && isOptLetter(s.charAt(j)) && s.charAt(j + 1) == '.'
+  }
+
+  /** Exact twin of one `find()` of option pattern 1,
+    * `([A-D])\.\s*([^A-D]*?)(?=\s+[A-D]\.|$)`, from index `from` on a
+    * terminator-free input. Backtracking order derived from the engine:
+    * greedy `\s*` at width w first, lazy capture extends e ascending from
+    * capStart+w up to the first A-D char (the capture class excludes A-D);
+    * on failure `\s*` shrinks one ws at a time, which only ever adds the
+    * position capStart+k itself with an EMPTY capture — so the twin checks
+    * e ascending in [capStart+w, firstAD], then e descending in
+    * [capStart+w-1, capStart] with group2 = "". Returns
+    * (letterIdx, g2start, g2end, matchEnd) packed via the out array, or
+    * false when no further match.
+    */
+  private def p1Find(s: String, from: Int, out: Array[Int]): Boolean = {
+    val n = s.length
+    var p = from
+    while (p < n - 1) {
+      if (isOptLetter(s.charAt(p)) && s.charAt(p + 1) == '.') {
+        val capStart = p + 2
+        var we = capStart
+        while (we < n && isJavaWs(s.charAt(we))) we += 1 // capStart+w
+        var fAD = we
+        while (fAD < n && !isOptLetter(s.charAt(fAD))) fAD += 1
+        var e = we
+        var found = -1
+        while (e <= fAD && found < 0) {
+          if (p1Lookahead(s, e)) found = e else e += 1
+        }
+        if (found >= 0) {
+          out(0) = s.charAt(p) - 'A'; out(1) = we; out(2) = found; out(3) = found
+          return true
+        }
+        var e2 = we - 1
+        while (e2 >= capStart && found < 0) {
+          if (p1Lookahead(s, e2)) found = e2 else e2 -= 1
+        }
+        if (found >= 0) { // empty capture from the shrunk-\s* rounds
+          out(0) = s.charAt(p) - 'A'; out(1) = found; out(2) = found; out(3) = found
+          return true
+        }
+      }
+      p += 1
+    }
+    false
+  }
+
+  /** Exact twin of `numSearch.find()` + `group(1)` (`(\d+)\.`): the first
+    * maximal digit run immediately followed by '.' (a shorter suffix of a
+    * run can never match — backtracked `\d+` would need '.' where a digit
+    * sits, and restarts inside the run re-walk to the same terminator).
+    * Returns null when absent.
+    */
+  private[graft] def numSearchGroup(s: String): String = {
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c >= '0' && c <= '9') {
+        val a = i
+        while (i < n && { val d = s.charAt(i); d >= '0' && d <= '9' }) i += 1
+        if (i < n && s.charAt(i) == '.') return s.substring(a, i)
+      } else i += 1
+    }
+    null
+  }
+
+  private def isWordChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '_'
+
+  /** Exact twin of `candidate.matcher(ft).find()` (`\b\d+\.\s+`): a maximal
+    * digit run at a word boundary, then '.', then Java ws. `\b` fails inside
+    * a run and a backtracked `\d+` fails on the digit before '.', so only
+    * boundary-started maximal runs can match.
+    */
+  private[graft] def candidateHit(s: String): Boolean = {
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c >= '0' && c <= '9') {
+        val a = i
+        while (i < n && { val d = s.charAt(i); d >= '0' && d <= '9' }) i += 1
+        if ((a == 0 || !isWordChar(s.charAt(a - 1))) &&
+          i + 1 < n && s.charAt(i) == '.' && isJavaWs(s.charAt(i + 1)))
+          return true
+      } else i += 1
+    }
+    false
+  }
+
+  /** Exact twin of `PyText.split1(p, s)` for the three ws-delimited literal
+    * patterns (`\s+LIT\s+`, alternation allowed): the earliest match starts
+    * at the beginning of the ws run preceding a literal occurrence that is
+    * followed by ws. Candidate literal positions ascending give ascending
+    * run starts (the literal's first char is non-ws, so runs cannot span a
+    * later candidate), hence first valid literal occurrence = regex find().
+    * Greedy trailing `\s+` takes the maximal run, as the Pattern does.
+    */
+  private def split1Literals(s: String, lits: Seq[String]): (String, String, Boolean) = {
+    val n = s.length
+    var i = 1 // literal needs >= 1 ws before it
+    while (i < n) {
+      var li = 0
+      while (li < lits.length) {
+        val lit = lits(li)
+        if (s.charAt(i) == lit.charAt(0) && isJavaWs(s.charAt(i - 1)) &&
+          s.regionMatches(i, lit, 0, lit.length) &&
+          i + lit.length < n && isJavaWs(s.charAt(i + lit.length))) {
+          var a = i - 1
+          while (a > 0 && isJavaWs(s.charAt(a - 1))) a -= 1
+          var b = i + lit.length + 1
+          while (b < n && isJavaWs(s.charAt(b))) b += 1
+          return (s.substring(0, a), s.substring(b), true)
+        }
+        li += 1
+      }
+      i += 1
+    }
+    (s, "", false)
+  }
+
+  /** Exact twin of split1 on `optionSplit` (`\s+[A-D]\.\s+`): same run-start
+    * argument as [[split1Literals]] with the literal generalized to
+    * `[A-D]\.`.
+    */
+  private def split1OptionDelim(s: String): (String, String, Boolean) = {
+    val n = s.length
+    var i = 1
+    while (i + 1 < n) {
+      if (isOptLetter(s.charAt(i)) && s.charAt(i + 1) == '.' &&
+        isJavaWs(s.charAt(i - 1)) && i + 2 < n && isJavaWs(s.charAt(i + 2))) {
+        var a = i - 1
+        while (a > 0 && isJavaWs(s.charAt(a - 1))) a -= 1
+        var b = i + 3
+        while (b < n && isJavaWs(s.charAt(b))) b += 1
+        return (s.substring(0, a), s.substring(b), true)
+      }
+      i += 1
+    }
+    (s, "", false)
+  }
+
+  private[graft] def splitMarkOrSolution(s: String): (String, String, Boolean) =
+    split1Literals(s, MarkSolutionLits)
+  private[graft] def splitShowSolution(s: String): (String, String, Boolean) =
+    split1Literals(s, ShowSolutionLits)
+  private[graft] def splitOptionDelimiter(s: String): (String, String, Boolean) =
+    split1OptionDelim(s)
+  private val MarkSolutionLits = Seq("Mark", "Solution")
+  private val ShowSolutionLits = Seq("Show Solution")
+
+  /** Exact twin of `PyText.splitWithCaptures(pat, s)` for the two theory
+    * part-split patterns `\s*\((G)\)\s*` (no anchors — exact on every
+    * input). A match is the ws run before a '(', the captured group, ')',
+    * and the ws run after; the earliest match starts at the earliest such
+    * run (ascending '(' candidates give ascending run starts), and the
+    * leading `\s*` is clamped at the previous match's end, exactly like the
+    * matcher's region. `groupLen(s, i)` returns the capture length for a
+    * candidate whose '(' sits at `i`, or -1 — it encodes G's alternation.
+    */
+  private def splitCaptures(s: String, groupLen: (String, Int) => Int): Vector[String] = {
+    val n = s.length
+    val out = Vector.newBuilder[String]
+    var last = 0 // end of previous match == region start for leading \s*
+    var i = 0
+    var pieces = 0
+    while (i < n) {
+      if (s.charAt(i) == '(') {
+        val gl = groupLen(s, i)
+        if (gl > 0) {
+          var a = i
+          while (a > last && isJavaWs(s.charAt(a - 1))) a -= 1
+          var b = i + gl + 2
+          while (b < n && isJavaWs(s.charAt(b))) b += 1
+          out += s.substring(last, a)
+          out += s.substring(i + 1, i + 1 + gl)
+          pieces += 2
+          last = b
+          i = b
+        } else i += 1
+      } else i += 1
+    }
+    out += s.substring(last)
+    out.result()
+  }
+
+  /** `mainPartSplit` group `([a-d])`: one char. */
+  private def mainGroupLen(s: String, i: Int): Int =
+    if (i + 2 < s.length && { val c = s.charAt(i + 1); c >= 'a' && c <= 'd' } &&
+      s.charAt(i + 2) == ')') 1 else -1
+
+  /** `subPartSplit` group `([ivx]+|[a-z])`: greedy ivx run (shorter runs
+    * cannot backtrack into a ')', which is not an ivx char), else one a-z.
+    */
+  private def subGroupLen(s: String, i: Int): Int = {
+    val n = s.length
+    var k = 0
+    while (i + 1 + k < n && { val c = s.charAt(i + 1 + k)
+      c == 'i' || c == 'v' || c == 'x' }) k += 1
+    if (k > 0 && i + 1 + k < n && s.charAt(i + 1 + k) == ')') k
+    else if (i + 2 < n && { val c = s.charAt(i + 1); c >= 'a' && c <= 'z' } &&
+      s.charAt(i + 2) == ')') 1
+    else -1
+  }
+
+  private[graft] def splitMainParts(s: String): Vector[String] =
+    splitCaptures(s, mainGroupLen)
+  private[graft] def splitSubParts(s: String): Vector[String] =
+    splitCaptures(s, subGroupLen)
+
+  /** Exact twin of the per-letter solution find,
+    * `\(L\)(.*?)(?=\([a-d]\)|$)` with DOTALL: first literal `(L)`
+    * occurrence, lazy capture to the first following `([a-d])` lookahead or
+    * the end. Default-mode `$` can also match before a FINAL line
+    * terminator, so terminator-holding inputs fall back to the Pattern.
+    * Returns null when the letter has no match.
+    */
+  private[graft] def solutionForLetter(s: String, letter: Char): String = {
+    val n = s.length
+    var idx = -1
+    var i = 0
+    while (idx < 0 && i + 2 < n) { // literal "(L)"
+      if (s.charAt(i) == '(' && s.charAt(i + 1) == letter && s.charAt(i + 2) == ')')
+        idx = i
+      else i += 1
+    }
+    if (idx < 0) return null
+    var e = idx + 3
+    while (e < n && !(s.charAt(e) == '(' && e + 2 < n &&
+      { val c = s.charAt(e + 1); c >= 'a' && c <= 'd' } &&
+      s.charAt(e + 2) == ')')) e += 1
+    s.substring(idx + 3, e)
+  }
+
   // --- element predicates ---------------------------------------------------
 
   /** `is_advertisement` — core/main.py:74-91. */
@@ -195,7 +457,7 @@ object QuestionParser {
   /** `extract_question_stem` — core/main.py:207-219. */
   def extractQuestionStem(questionPart: String, questionNum: Int): String = {
     val text = stripNumPrefix(questionPart, questionNum)
-    val (head, _, _) = PyText.split1(optionSplit, text)
+    val (head, _, _) = splitOptionDelimiter(text)
     collapseJavaWs(PyText.pyStrip(head))
   }
 
@@ -212,18 +474,31 @@ object QuestionParser {
     // when the letter is still open (they were computed-then-discarded).
     val acc = Array("", "", "", "")
     var filled = 0
+    def take(idx: Int, raw: String): Unit =
+      if (acc(idx).isEmpty) {
+        var opt = PyText.pyStrip(raw)
+        opt = collapseJavaWs(opt)
+        opt = stripTrailingDot(opt)
+        opt = stripBullet(opt)
+        if (opt.nonEmpty) { acc(idx) = opt; filled += 1 }
+      }
+    // pattern 1 runs as the compiled twin (p1Find) on terminator-free input
+    // — the overwhelmingly common, all-filled case never touches the regex
+    // engine; patterns 2/3 (rarely reached) stay Patterns
     var pi = 0
+    if (!hasLineTerminator(text)) {
+      val out = new Array[Int](4)
+      var from = 0
+      while (filled < 4 && p1Find(text, from, out)) {
+        take(out(0), text.substring(out(1), out(2)))
+        from = out(3)
+      }
+      pi = 1
+    }
     while (pi < optPatterns.length && filled < 4) {
       val m = optPatterns(pi).matcher(text)
       while (filled < 4 && m.find()) {
-        val idx = m.group(1).charAt(0) - 'A'
-        if (acc(idx).isEmpty) {
-          var opt = PyText.pyStrip(m.group(2))
-          opt = collapseJavaWs(opt)
-          opt = stripTrailingDot(opt)
-          opt = stripBullet(opt)
-          if (opt.nonEmpty) { acc(idx) = opt; filled += 1 }
-        }
+        take(m.group(1).charAt(0) - 'A', m.group(2))
       }
       pi += 1
     }
@@ -306,11 +581,11 @@ object QuestionParser {
     * `core/main.py:139+154`, with identical result since the function is pure).
     */
   def parseObjective(container: HElem, full: String): Option[Question] = {
-    val numM = numSearch.matcher(full)
-    if (!numM.find()) return None
-    val questionNum = numM.group(1).toInt
+    val numG = numSearchGroup(full)
+    if (numG == null) return None
+    val questionNum = numG.toInt
 
-    val (questionPart, solutionPart, _) = PyText.split1(markOrSolution, full)
+    val (questionPart, solutionPart, _) = splitMarkOrSolution(full)
     val questionText = extractQuestionStem(questionPart, questionNum)
     val options = extractOptions(questionPart)
     var (answer, solution, found) = extractAnswerInfo(solutionPart)
@@ -338,7 +613,7 @@ object QuestionParser {
 
   /** `parse_sub_subparts_improved` — core/main.py:494-513. */
   def parseSubSubparts(content: String): Seq[SubSub] = {
-    val parts = PyText.splitWithCaptures(subPartSplit, content)
+    val parts = splitSubParts(content)
     if (parts.length < 3) return Seq.empty
     val out = Seq.newBuilder[SubSub]
     var i = 1
@@ -355,7 +630,7 @@ object QuestionParser {
   /** `parse_theory_structure_improved` — core/main.py:460-492. */
   def parseTheoryStructure(questionPart: String, questionNum: Int): (String, Seq[Subpart]) = {
     val content = stripNumPrefix(questionPart, questionNum)
-    val mainParts = PyText.splitWithCaptures(mainPartSplit, content)
+    val mainParts = splitMainParts(content)
     if (mainParts.length < 3) return (PyText.pyStrip(content), Seq.empty)
     val mainQuestion = PyText.pyStrip(mainParts(0))
     val subparts = Seq.newBuilder[Subpart]
@@ -382,25 +657,34 @@ object QuestionParser {
     Seq("a", "b", "c", "d").map(l => l -> Pattern.compile(
       "\\(" + l + "\\)(.*?)(?=\\([a-d]\\)|$)", Pattern.DOTALL)).toMap
 
-  def integrateTheorySolutions(subparts: Seq[Subpart], solutionPart: String): Seq[Subpart] =
+  def integrateTheorySolutions(subparts: Seq[Subpart], solutionPart: String): Seq[Subpart] = {
+    // terminator-free inputs (always, post-cleanText) use the compiled twin;
+    // the Pattern handles the `$`-before-final-terminator corner
+    val twinOk = !hasLineTerminator(solutionPart)
     subparts.map { sp =>
       val letter = sp.part.stripPrefix("(").stripSuffix(")")
-      val p = solutionByLetter.getOrElse(letter, Pattern.compile(
-        "\\(" + letter + "\\)(.*?)(?=\\([a-d]\\)|$)", Pattern.DOTALL))
-      val m = p.matcher(solutionPart)
-      if (m.find()) sp.copy(solution = PyText.pyStrip(m.group(1))) else sp
+      if (twinOk && letter.length == 1) {
+        val sol = solutionForLetter(solutionPart, letter.charAt(0))
+        if (sol != null) sp.copy(solution = PyText.pyStrip(sol)) else sp
+      } else {
+        val p = solutionByLetter.getOrElse(letter, Pattern.compile(
+          "\\(" + letter + "\\)(.*?)(?=\\([a-d]\\)|$)", Pattern.DOTALL))
+        val m = p.matcher(solutionPart)
+        if (m.find()) sp.copy(solution = PyText.pyStrip(m.group(1))) else sp
+      }
     }
+  }
 
   /** `parse_theory_question_improved` — core/main.py:420-458. */
   def parseTheory(container: HElem): Option[Question] =
     parseTheory(container, fullText(container))
 
   def parseTheory(container: HElem, full: String): Option[Question] = {
-    val numM = numSearch.matcher(full)
-    if (!numM.find()) return None
-    val questionNum = numM.group(1).toInt
+    val numG = numSearchGroup(full)
+    if (numG == null) return None
+    val questionNum = numG.toInt
 
-    val (questionPart, solutionPart, _) = PyText.split1(showSolution, full)
+    val (questionPart, solutionPart, _) = splitShowSolution(full)
     var (mainQuestion, subparts) = parseTheoryStructure(questionPart, questionNum)
     if (solutionPart.nonEmpty)
       subparts = integrateTheorySolutions(subparts, solutionPart)
@@ -447,7 +731,7 @@ object QuestionParser {
             val ft = fullText(sib)
             if (ft.contains("THEORY QUESTIONS")) stop = true
             else if (!adKeywords.exists(ft.toLowerCase.contains)) {
-              if (candidate.matcher(ft).find())
+              if (candidateHit(ft))
                 parseObjective(sib, ft).foreach(acc += _)
             }
           }
@@ -468,7 +752,7 @@ object QuestionParser {
         followingSiblings(parent, idx).foreach { sib =>
           val ft = fullText(sib)
           if (!adKeywords.exists(ft.toLowerCase.contains)) {
-            if (candidate.matcher(ft).find())
+            if (candidateHit(ft))
               parseTheory(sib, ft).foreach(acc += _)
           }
         }
