@@ -71,7 +71,7 @@ object Extract {
   /** `extract_full_text(element)` — core/main.py:65-72:
     * all descendant text nodes joined with " ", then cleaned.
     */
-  def fullText(e: HElem): String = cleanText(e.textNodes.mkString(" "))
+  def fullText(e: HElem): String = cleanText(e.joinedText(" "))
 
   /** Whole-page extracted text: the engine's `text` column contract — every
     * text node of the document in order, joined with " ", cleaned. The pages

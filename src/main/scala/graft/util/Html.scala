@@ -63,10 +63,28 @@ final case class HElem(tag: String, attrs: Map[String, String],
     out.result()
   }
 
+  /** `textNodes.mkString(sep)` in one walk — no intermediate Vector. The
+    * separator goes between every adjacent pair of text nodes, empty nodes
+    * included, exactly as mkString does. Parse-hot (fullText/stringValue
+    * run per sibling of every section walk).
+    */
+  def joinedText(sep: String): String = {
+    val sb = new java.lang.StringBuilder
+    var first = true
+    def walk(n: HNode): Unit = n match {
+      case HText(t) =>
+        if (first) first = false else sb.append(sep)
+        sb.append(t)
+      case HElem(_, _, cs) => cs.foreach(walk)
+    }
+    children.foreach(walk)
+    sb.toString
+  }
+
   /** XPath string-value (all descendant text concatenated, no separator) —
     * what cssselect's `:contains()` tests against.
     */
-  def stringValue: String = textNodes.mkString("")
+  def stringValue: String = joinedText("")
 }
 
 object Html {
