@@ -324,6 +324,44 @@ object SeenSet {
     * — the analog of Iceberg's rewrite-data-files action, for running
     * off-crawl when delta accumulation should be reset.
     */
+  /** Pure-delta insert path (every wave whose shards are all under the
+    * compaction threshold — compactThreshold−1 of every compactThreshold
+    * waves): no prior blob is read, so the typed groupByKey.cogroup —
+    * object-grouped rows outside codegen — reduces to "sorted hashes per
+    * shard → one delta blob". This relational twin exchanges 16-byte
+    * UnsafeRows through a codegen hash exchange + in-partition sort and
+    * cuts each shard's blob from its contiguous sorted run. Blob BYTES are
+    * identical to the cogroup path's (`serializeDelta` sorts to the same
+    * array — asserted by SeenSetShardSpec), so stores, probes, digests and
+    * later compactions are unaffected. Deterministic under task retry: the
+    * exchange keys and the sort are value-derived (guide §2.5).
+    */
+  private def mergedPureDelta(spark: SparkSession, newHashes: Dataset[Long],
+                              shards: Int): Dataset[ShardBlob] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    newHashes.toDF("h")
+      .select(pmod(col("h"), lit(shards.toLong)).cast("int").as("shard"), col("h"))
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "h")
+      .as[(Int, Long)]
+      .mapPartitions { rows =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[ShardBlob]
+        val buf = new scala.collection.mutable.ArrayBuilder.ofLong
+        var cur = Int.MinValue
+        def flush(): Unit = if (cur != Int.MinValue) {
+          out += ShardBlob(cur, ShardState.serializeDeltaPresorted(buf.result()))
+          buf.clear()
+        }
+        rows.foreach { case (sh, h) =>
+          if (sh != cur) { flush(); cur = sh }
+          buf += h
+        }
+        flush()
+        out.iterator
+      }
+  }
+
   def cuckooInsert(spark: SparkSession, newHashes: Dataset[Long],
                    shardTable: SnapshotTable, shards: Int, perShardCapacity: Long,
                    wave: Int, pruneBytes: Long = DefaultPruneBytes,
@@ -347,7 +385,9 @@ object SeenSet {
     // precomputed driver-side, so there is no planning job to amortize
     val (blobs, blobsRead) = blobsBefore(spark, shardTable, wave, () => compactIds,
       pruneBytes = 0L)
-    val merged = byShard.groupByKey(_._1.toInt)
+    val merged: Dataset[ShardBlob] =
+      if (compactIds.isEmpty) mergedPureDelta(spark, newHashes, shards)
+      else byShard.groupByKey(_._1.toInt)
       .cogroup(blobs.groupByKey(_.shard)) { (shard, ins, blobIt) =>
         val insArr = ins.map(_._2).toArray
         val states = blobIt.toSeq

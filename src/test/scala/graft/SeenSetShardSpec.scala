@@ -154,6 +154,26 @@ class SeenSetShardSpec extends AnyFunSuite {
     assert(hashesIn(3, 200).forall(f(_)) && hashesIn(4, 30).forall(f(_)))
   }
 
+  test("pure-delta relational path writes byte-identical blobs to the " +
+       "cogroup path (round-6: the codegen insert twin)") {
+    // the round-6 pure-delta fast path (SeenSet.mergedPureDelta) must cut
+    // EXACTLY the blobs ShardState.serializeDelta produces per shard —
+    // stores built by either engine version interoperate bit-for-bit
+    val hashes = (0 until Shards).flatMap(hashesIn(_, 37)) ++ hashesIn(2, 90).drop(37)
+    val t = freshTable("deltatwim")
+    insert(t, hashes, wave = 0) // compactIds empty on a fresh table → twin path
+    val blobs = spark.read.parquet(t.versionDirs(t.latestVersion.get): _*)
+      .collect().map(r => r.getAs[Int]("shard") -> r.getAs[Array[Byte]]("blob")).toMap
+    val expected = hashes.groupBy(h => ((h % Shards) + Shards) % Shards)
+      .map { case (sh, hs) =>
+        sh.toInt -> graft.util.ShardState.serializeDelta(hs.toArray) }
+    assert(blobs.keySet == expected.keySet)
+    expected.foreach { case (sh, bytes) =>
+      assert(java.util.Arrays.equals(blobs(sh), bytes),
+        s"shard $sh blob bytes differ from the cogroup-path serialization")
+    }
+  }
+
   test("graceful growth: compacting 100× past perShardCapacity stays correct, " +
        "no exception (VERDICT r03 #4)") {
     val t = freshTable("growth")
