@@ -53,10 +53,6 @@ object QuestionParser {
     Pattern.compile("([A-D])\\.\\s*([^A-D]*?)(?=\\s+[A-D]\\.|$)", optFlags),
     Pattern.compile("([A-D])\\s*\\.\\s*([^A-D]*?)(?=\\s*[A-D]\\s*\\.|$)", optFlags),
     Pattern.compile("([A-D])\\s*\\.?\\s*([^\\n]*?)(?=\\s*[A-D]\\s*\\.|\\n[A-D]\\s*\\.|$)", optFlags))
-  // extract_answer_info patterns, core/main.py:267-272 (IGNORECASE).
-  private val answerPatterns = Seq(
-    "answer is ([A-D])", "correct answer is ([A-D])", "option ([A-D])",
-    "^([A-D])\\.").map(p => Pattern.compile(p, Pattern.CASE_INSENSITIVE))
   private val adKeywords = Seq( // core/main.py:81-89
     "sponsored", "advertise", "kuulchat media", "kuulpay.com",
     "get a professional", "affordable website", "management system")
@@ -398,6 +394,54 @@ object QuestionParser {
     s.substring(idx + 3, e)
   }
 
+  /** ASCII case fold of a region compare — what CASE_INSENSITIVE without
+    * UNICODE_CASE does for literal pattern chars ("assumes that only
+    * characters in the US-ASCII charset are being matched").
+    */
+  private def foldedMatch(s: String, i: Int, lower: String): Boolean = {
+    if (i + lower.length > s.length) return false
+    var k = 0
+    while (k < lower.length) {
+      val c = s.charAt(i + k)
+      val f = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+      if (f != lower.charAt(k)) return false
+      k += 1
+    }
+    true
+  }
+
+  private def isOptLetterCI(c: Char): Boolean =
+    (c >= 'A' && c <= 'D') || (c >= 'a' && c <= 'd')
+
+  /** Exact twin of the four `extract_answer_info` patterns (IGNORECASE,
+    * tried in order, first find() wins): "answer is ([A-D])",
+    * "correct answer is ([A-D])", "option ([A-D])", "^([A-D])\." — the
+    * CASE_INSENSITIVE flag makes [A-D] also match a–d and the literals
+    * ASCII-case-blind; `^` without MULTILINE anchors to position 0 only.
+    * Pattern 2 is provably dead: any "correct answer is X" match contains
+    * an "answer is X" match at offset +8, so pattern 1 already returned.
+    * Returns the captured letter or [[NoAnswer]] when none match.
+    */
+  private[graft] val NoAnswer: Char = '\u0000'
+
+  private[graft] def answerLetter(s: String): Char = {
+    val n = s.length
+    var i = 0
+    while (i + 10 < n) {
+      if (foldedMatch(s, i, "answer is ") && isOptLetterCI(s.charAt(i + 10)))
+        return s.charAt(i + 10)
+      i += 1
+    }
+    i = 0
+    while (i + 7 < n) {
+      if (foldedMatch(s, i, "option ") && isOptLetterCI(s.charAt(i + 7)))
+        return s.charAt(i + 7)
+      i += 1
+    }
+    if (n >= 2 && isOptLetterCI(s.charAt(0)) && s.charAt(1) == '.') return s.charAt(0)
+    NoAnswer
+  }
+
   // --- element predicates ---------------------------------------------------
 
   /** `is_advertisement` — core/main.py:74-91. */
@@ -537,12 +581,11 @@ object QuestionParser {
   def extractAnswerInfo(solutionText: String): (String, String, Boolean) = {
     if (solutionText == null || solutionText.isEmpty) return (null, null, false)
     val cleanSolution = PyText.pyStrip(solutionText)
-    var answer: String = null
-    val it = answerPatterns.iterator
-    while (answer == null && it.hasNext) {
-      val m = it.next().matcher(cleanSolution)
-      if (m.find()) answer = m.group(1).toUpperCase
-    }
+    val letter = answerLetter(cleanSolution) // twin of the 4-pattern loop
+    val answer =
+      if (letter == NoAnswer) null
+      else if (letter >= 'a') (letter - 32).toChar.toString // group(1).toUpperCase
+      else letter.toString
     (answer, cleanSolutionText(cleanSolution), true)
   }
 

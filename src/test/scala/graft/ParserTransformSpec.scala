@@ -143,6 +143,38 @@ class ParserTransformSpec extends AnyFunSuite {
     }
   }
 
+  // ---- round-6 batch 4: answer-letter twin ------------------------------
+
+  private val answerPatterns = Seq(
+    "answer is ([A-D])", "correct answer is ([A-D])", "option ([A-D])",
+    "^([A-D])\\.").map(p => Pattern.compile(p, Pattern.CASE_INSENSITIVE))
+
+  private val ansPieces = Seq("", " ", "answer is B", "ANSWER IS b",
+    "Answer Is ", "correct answer is D", "option c", "Option A", "A.",
+    "a. text", "answer isX", "the answer is", "answer is  C", "xoption d",
+    "OPTIONA", "answer", "B.", " B.", "İ answer is A", "answer is Ω",
+    "optİon a", "answer is e", "option E")
+  private val ansInputs: Seq[String] =
+    (ansPieces ++
+      (1 to 3000).map(_ => (0 until (1 + rng.nextInt(5)))
+        .map(_ => ansPieces(rng.nextInt(ansPieces.length))).mkString(" ")) ++
+      (for (a <- ansPieces; b <- ansPieces) yield a + b)).distinct
+
+  test("answerLetter == 4-pattern IGNORECASE loop") {
+    ansInputs.foreach { s =>
+      var expected: String = null
+      val it = answerPatterns.iterator
+      while (expected == null && it.hasNext) {
+        val m = it.next().matcher(s)
+        if (m.find()) expected = m.group(1).toUpperCase
+      }
+      val l = QuestionParser.answerLetter(s)
+      val got = if (l == QuestionParser.NoAnswer) null
+        else if (l >= 'a') (l - 32).toChar.toString else l.toString
+      assert(got == expected, s"input=[$s]")
+    }
+  }
+
   // ---- round-6 batch 3: theory split twins ------------------------------
 
   private val mainPartSplit = Pattern.compile("\\s*\\(([a-d])\\)\\s*")
